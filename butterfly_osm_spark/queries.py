@@ -1,0 +1,150 @@
+"""Query registry: every implemented operator as a (spark, sf_dir) callable
+plus a DuckDB oracle SQL string over the same deterministic inputs.
+
+The driver runs each Spark query and its oracle side-by-side at sf=0.01
+and compares row count + schema + order-insensitive value hash. Spatial
+queries run over this repo's deterministic fixtures (generated on demand,
+seed 42 — see fixtures/generate.py); text/dedup/ANN queries run over the
+driver's pre-registered testdata views (documents, embeddings, events).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import cells
+from .fixtures.generate import ensure_fixtures, fixture_dir
+from .functions.model import compile_way_attrs, way_attrs_oracle_sql
+from .operators.extract import build_edges, edges_oracle_sql
+
+# Oracle SQL is only executed at sf0.01 (driver contract).
+ORACLE_SF = "0.01"
+
+
+def _fix(sf_dir: str) -> str:
+    """Map the driver's sf dir (/root/testdata/sf0.01) to our fixture dir,
+    generating the fixtures if they don't exist yet."""
+    sf = os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
+    return ensure_fixtures(sf)
+
+
+def _oracle_fix(sf: str = ORACLE_SF) -> str:
+    return ensure_fixtures(sf)
+
+
+def _read(spark: SparkSession, fix: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(fix, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# P1/P2: way-attribute projection (model evaluation)
+# ---------------------------------------------------------------------------
+
+
+def q_way_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _fix(sf_dir)
+    return compile_way_attrs(_read(spark, fix, "osm_ways"))
+
+
+def sql_way_attrs(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    return way_attrs_oracle_sql(f"{fix}/way_tags.parquet", f"{fix}/osm_ways.parquet")
+
+
+# ---------------------------------------------------------------------------
+# J1+J2+J3+A1+A3: the extraction pipeline -> edges
+# ---------------------------------------------------------------------------
+
+
+def q_extract_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _fix(sf_dir)
+    return build_edges(
+        _read(spark, fix, "osm_ways"), _read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes")
+    )
+
+
+def sql_extract_edges(sf: str = ORACLE_SF) -> str:
+    return edges_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
+# A4/J10: region tile set (0.1-degree coarse coverage, region_tiles.rs)
+# ---------------------------------------------------------------------------
+
+REGION_RES = 7  # 0.1 deg = the reference's region-tile size
+
+
+def q_region_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _fix(sf_dir)
+    nodes = _read(spark, fix, "osm_nodes")
+    return (
+        nodes.select(cells.cell_col("lon_e7", "lat_e7", REGION_RES).alias("cell_id"))
+        .distinct()
+        .orderBy("cell_id")
+    )
+
+
+def sql_region_tiles(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    c = cells.cell_sql("lon_e7", "lat_e7", REGION_RES)
+    return f"SELECT DISTINCT {c} AS cell_id FROM read_parquet('{fix}/osm_nodes.parquet') ORDER BY cell_id"
+
+
+# ---------------------------------------------------------------------------
+# Tile assignment: every image -> its cell at res 7/10/12 (golden_tiles)
+# ---------------------------------------------------------------------------
+
+TILE_RESOLUTIONS = (7, 10, 12)
+
+
+def q_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fix = _fix(sf_dir)
+    geo = _read(spark, fix, "image_geo")
+    parts = [
+        geo.select(
+            "image_id",
+            F.lit(r).cast("int").alias("res"),
+            cells.cell_col("lon_e7", "lat_e7", r).alias("cell_id"),
+        )
+        for r in TILE_RESOLUTIONS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_image_tiles(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    selects = [
+        f"SELECT image_id, CAST({r} AS INT) AS res, {cells.cell_sql('lon_e7', 'lat_e7', r)} AS cell_id "
+        f"FROM read_parquet('{fix}/image_geo.parquet')"
+        for r in TILE_RESOLUTIONS
+    ]
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "way_attrs": q_way_attrs,
+    "extract_edges": q_extract_edges,
+    "region_tiles": q_region_tiles,
+    "image_tiles": q_image_tiles,
+}
+
+ORACLES: dict[str, Callable[..., str]] = {
+    "way_attrs": sql_way_attrs,
+    "extract_edges": sql_extract_edges,
+    "region_tiles": sql_region_tiles,
+    "image_tiles": sql_image_tiles,
+}

@@ -1,0 +1,20 @@
+"""Driver-style parity: every registered query vs its DuckDB oracle at sf0.001."""
+
+import pytest
+
+from butterfly_osm_spark.queries import ORACLES, QUERIES
+
+from .compare import assert_frames_equal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))
+def test_query_matches_oracle(spark, fix001, name):
+    df = QUERIES[name](spark, SF_DIR)
+    sql = ORACLES[name]("0.001")
+    assert_frames_equal(df, sql)
+
+
+def test_all_oracle_queries_have_spark_impl():
+    assert set(ORACLES) <= set(QUERIES)
