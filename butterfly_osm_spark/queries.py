@@ -132,6 +132,26 @@ def sql_image_tiles(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# J7+J8: point-in-polygon join (images x polygons)
+# ---------------------------------------------------------------------------
+
+
+def q_pip_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pip import pip_join
+
+    fix = _fix(sf_dir)
+    return pip_join(_read(spark, fix, "image_geo"), _read(spark, fix, "polygons")).withColumnsRenamed(
+        {"point_id": "image_id"}
+    )
+
+
+def sql_pip_images(sf: str = ORACLE_SF) -> str:
+    from .operators.pip import pip_oracle_sql
+
+    return pip_oracle_sql(_oracle_fix(sf), out_id="image_id")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -140,6 +160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
+    "pip_images": q_pip_images,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -147,4 +168,5 @@ ORACLES: dict[str, Callable[..., str]] = {
     "extract_edges": sql_extract_edges,
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,
+    "pip_images": sql_pip_images,
 }
