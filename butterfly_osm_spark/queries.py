@@ -152,6 +152,24 @@ def sql_pip_images(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# J5+W1: kNN snap via k-ring expansion (query_points x osm_nodes)
+# ---------------------------------------------------------------------------
+
+
+def q_knn_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.knn import knn_join
+
+    fix = _fix(sf_dir)
+    return knn_join(_read(spark, fix, "query_points"), _read(spark, fix, "osm_nodes"))
+
+
+def sql_knn_nodes(sf: str = ORACLE_SF) -> str:
+    from .operators.knn import knn_oracle_sql
+
+    return knn_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -161,6 +179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
     "pip_images": q_pip_images,
+    "knn_nodes": q_knn_nodes,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -169,4 +188,5 @@ ORACLES: dict[str, Callable[..., str]] = {
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,
     "pip_images": sql_pip_images,
+    "knn_nodes": sql_knn_nodes,
 }
