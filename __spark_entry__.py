@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end slice (SURVEY.md §7.2):
+"which images fall inside each polygon, and what is each one's nearest
+OSM node?" — fixtures -> cell encode -> polygon cover join -> ray-cast
+PIP refine -> k-ring kNN -> result table.
+
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB-verifiable semantics (see
+butterfly_osm_spark/queries.py). Spatial queries run over this repo's
+deterministic seed-42 fixtures (generated on demand under fixtures/);
+text/dedup/ANN queries run over the driver's pre-registered views.
 """
 
 from __future__ import annotations
@@ -12,27 +17,41 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: PIP join + nearest-node snap per image."""
+    import os
+
+    from butterfly_osm_spark.fixtures.generate import ensure_fixtures
+    from butterfly_osm_spark.operators.knn import knn_join
+    from butterfly_osm_spark.operators.pip import pip_join
+
+    fix = ensure_fixtures("0.001")
+
+    def read(name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(fix, f"{name}.parquet"))
+
+    geo = read("image_geo")
+    hits = pip_join(geo, read("polygons")).withColumnRenamed("point_id", "image_id")
+
+    knn_q = geo.select(F.col("image_id").alias("query_id"), "lon_e7", "lat_e7", F.lit(1).alias("k"))
+    nearest = knn_join(knn_q, read("osm_nodes")).select(
+        F.col("query_id").alias("image_id"),
+        F.col("node_id").alias("nearest_node_id"),
+        F.col("dist_m").alias("nearest_node_dist_m"),
+    )
+    return hits.join(nearest, "image_id", "left").orderBy("image_id", "polygon_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from butterfly_osm_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from butterfly_osm_spark.queries import ORACLES
+
+    return {name: fn() for name, fn in ORACLES.items()}
