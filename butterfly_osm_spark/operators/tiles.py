@@ -1,0 +1,204 @@
+"""Tile-cover assignment + radius range-join (raster<->vector core).
+
+- ``way_cell_cover``: assign every way (vector feature) the set of grid
+  cells its segments' bboxes intersect — the cell-cover intersection that
+  drives raster-tile <-> vector-feature assignment (reference tile-set
+  build, route/src/formats/region_tiles.rs:262-270, and the bit-tile
+  stamping cover of sparse_contour.rs). Conservative bbox cover per
+  segment (segments are short: fixture step <= 400 m < cell edge).
+- ``radius_prefilter``: J9, the Euclidean radius pre-filter of
+  route/src/matrix/neighbors.rs:44-135 — per-query candidate lists within
+  ``radius_m``, realized as a bounded cell-rectangle equi-join + exact
+  metric filter instead of the reference's longitude-sorted binary-search
+  bands.
+- ``auto_radius``: A7 — ``auto`` radius = p95 of pairwise distances x 1.1
+  (neighbors.rs:101-135), as an exact percentile aggregate.
+
+All three are pure DataFrame algebra (explode/sequence/join/agg — no
+UDFs) and have exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import cells
+from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON, equirect_d2_col, equirect_d2_sql
+
+COVER_RES = 9  # 0.025 deg — segment bboxes span at most 2x2 cells at <=400 m
+
+
+def way_cell_cover(way_nodes: DataFrame, nodes: DataFrame, res: int = COVER_RES) -> DataFrame:
+    """Distinct (way_id, cell_id) covered by any segment bbox of the way.
+
+    Plan shape: vertex join -> lead window -> integer cell-range explode
+    (sequence) -> distinct. The explode fan-out is bounded (<= 4 cells per
+    segment at fixture step lengths); distinct is the only shuffle.
+    """
+    s = cells.SIZE_E7[res]
+    wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
+        "way_id", "seq", "lat_e7", "lon_e7"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    pairs = wv.select(
+        "way_id",
+        "lon_e7",
+        "lat_e7",
+        F.lead("lon_e7").over(w).alias("nlon"),
+        F.lead("lat_e7").over(w).alias("nlat"),
+    ).filter(F.col("nlon").isNotNull())
+    ranges = pairs.select(
+        "way_id",
+        ((F.least("lon_e7", "nlon") + F.lit(cells.OFF_LON_E7)).cast("long") / F.lit(s)).cast("long").alias("x0"),
+        ((F.greatest("lon_e7", "nlon") + F.lit(cells.OFF_LON_E7)).cast("long") / F.lit(s)).cast("long").alias("x1"),
+        ((F.least("lat_e7", "nlat") + F.lit(cells.OFF_LAT_E7)).cast("long") / F.lit(s)).cast("long").alias("y0"),
+        ((F.greatest("lat_e7", "nlat") + F.lit(cells.OFF_LAT_E7)).cast("long") / F.lit(s)).cast("long").alias("y1"),
+    )
+    cx = ranges.select("way_id", F.explode(F.sequence("x0", "x1")).alias("cx"), "y0", "y1")
+    cxy = cx.select("way_id", "cx", F.explode(F.sequence("y0", "y1")).alias("cy"))
+    return cxy.select(
+        "way_id",
+        (
+            F.lit(res << cells.RES_SHIFT) + F.col("cy") * F.lit(1 << cells.Y_SHIFT) + F.col("cx")
+        ).alias("cell_id"),
+    ).distinct()
+
+
+def way_cell_cover_oracle_sql(fix: str, res: int = COVER_RES) -> str:
+    s = cells.SIZE_E7[res]
+    return f"""
+WITH wv AS (
+  SELECT w.way_id, w.seq, n.lat_e7, n.lon_e7
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), pairs AS (
+  SELECT way_id, lon_e7, lat_e7,
+         lead(lon_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlon,
+         lead(lat_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlat
+  FROM wv
+), ranges AS (
+  SELECT way_id,
+         (least(lon_e7, nlon) + {cells.OFF_LON_E7}) // {s} AS x0,
+         (greatest(lon_e7, nlon) + {cells.OFF_LON_E7}) // {s} AS x1,
+         (least(lat_e7, nlat) + {cells.OFF_LAT_E7}) // {s} AS y0,
+         (greatest(lat_e7, nlat) + {cells.OFF_LAT_E7}) // {s} AS y1
+  FROM pairs WHERE nlon IS NOT NULL
+), cx AS (
+  SELECT way_id, unnest(generate_series(x0, x1)) AS cx, y0, y1 FROM ranges
+), cxy AS (
+  SELECT way_id, cx, unnest(generate_series(y0, y1)) AS cy FROM cx
+)
+SELECT DISTINCT way_id,
+       CAST({res << cells.RES_SHIFT} AS BIGINT) + cy * {1 << cells.Y_SHIFT} + cx AS cell_id
+FROM cxy
+"""
+
+
+# ---------------------------------------------------------------------------
+# J9: Euclidean radius pre-filter (range join via bounded cell rectangle)
+# ---------------------------------------------------------------------------
+
+RADIUS_RES = 9
+
+
+def radius_prefilter(
+    queries: DataFrame,
+    points: DataFrame,
+    radius_m: float,
+    res: int = RADIUS_RES,
+    point_id: str = "image_id",
+) -> DataFrame:
+    """(query_id, point_id, dist_m) for all points within radius_m.
+
+    The reference binary-searches a longitude-sorted band then applies the
+    exact check (neighbors.rs:44-99); here the band is a bounded cell
+    rectangle (equi-join on cell ids) and the exact check is the same
+    final metric filter.
+    """
+    s = cells.SIZE_E7[res]
+    rx = int(radius_m / M_PER_DEG_LON * 1e7 // s) + 1
+    ry = int(radius_m / M_PER_DEG_LAT * 1e7 // s) + 1
+    offsets = F.array(
+        *[
+            F.lit(dy * (1 << cells.Y_SHIFT) + dx)
+            for dx in range(-rx, rx + 1)
+            for dy in range(-ry, ry + 1)
+        ]
+    )
+    q = (
+        queries.withColumn("qcell", cells.cell_col("lon_e7", "lat_e7", res))
+        .select(
+            "query_id",
+            F.col("lon_e7").alias("qlon"),
+            F.col("lat_e7").alias("qlat"),
+            F.explode(offsets).alias("off"),
+            "qcell",
+        )
+        .select("query_id", "qlon", "qlat", (F.col("qcell") + F.col("off")).alias("cell_id"))
+    )
+    p = points.select(
+        F.col(point_id).alias("point_id"),
+        F.col("lon_e7").alias("plon"),
+        F.col("lat_e7").alias("plat"),
+        cells.cell_col("lon_e7", "lat_e7", res).alias("cell_id"),
+    )
+    d2 = equirect_d2_col("qlon", "qlat", "plon", "plat")
+    return (
+        q.join(p, "cell_id", "inner")
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= F.lit(radius_m * radius_m))
+        .select("query_id", "point_id", F.round(F.sqrt("d2"), 3).alias("dist_m"))
+    )
+
+
+def radius_prefilter_oracle_sql(
+    fix: str,
+    radius_m: float,
+    point_table: str = "image_geo",
+    point_id: str = "image_id",
+) -> str:
+    d2 = equirect_d2_sql("q.lon_e7", "q.lat_e7", "p.lon_e7", "p.lat_e7")
+    dlon = int(radius_m / M_PER_DEG_LON * 1e7)
+    dlat = int(radius_m / M_PER_DEG_LAT * 1e7)
+    return f"""
+SELECT q.query_id, p.{point_id} AS point_id, round(sqrt({d2}), 3) AS dist_m
+FROM read_parquet('{fix}/query_points.parquet') q
+JOIN read_parquet('{fix}/{point_table}.parquet') p
+  ON p.lon_e7 BETWEEN q.lon_e7 - {dlon} AND q.lon_e7 + {dlon}
+ AND p.lat_e7 BETWEEN q.lat_e7 - {dlat} AND q.lat_e7 + {dlat}
+WHERE {d2} <= {radius_m * radius_m!r}
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7: auto radius = p95 pairwise distance x 1.1 (neighbors.rs:101-135)
+# ---------------------------------------------------------------------------
+
+
+def auto_radius(queries: DataFrame, sample_n: int = 500) -> DataFrame:
+    """Single-row (auto_radius_m): 1.1 x exact p95 of pairwise distances
+    over the first ``sample_n`` query points (ordered by id — the
+    deterministic sampling the reference gets from its fixed source list)."""
+    s = queries.orderBy("query_id").limit(sample_n).select("query_id", "lon_e7", "lat_e7")
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(b, F.col("a.query_id") < F.col("b.query_id"))
+    d2 = equirect_d2_col(
+        F.col("a.lon_e7"), F.col("a.lat_e7"), F.col("b.lon_e7"), F.col("b.lat_e7")
+    )
+    return pairs.select(F.sqrt(d2).alias("d")).agg(
+        F.round(F.expr("percentile(d, 0.95)") * 1.1, 3).alias("auto_radius_m")
+    )
+
+
+def auto_radius_oracle_sql(fix: str, sample_n: int = 500) -> str:
+    d2 = equirect_d2_sql("a.lon_e7", "a.lat_e7", "b.lon_e7", "b.lat_e7")
+    return f"""
+WITH s AS (
+  SELECT query_id, lon_e7, lat_e7 FROM read_parquet('{fix}/query_points.parquet')
+  ORDER BY query_id LIMIT {sample_n}
+), d AS (
+  SELECT sqrt({d2}) AS d FROM s a JOIN s b ON a.query_id < b.query_id)
+SELECT round(quantile_cont(d, 0.95) * 1.1, 3) AS auto_radius_m FROM d
+"""

@@ -170,6 +170,54 @@ def sql_knn_nodes(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Tile cover + range join + auto radius (tiles.py)
+# ---------------------------------------------------------------------------
+
+RADIUS_M = 500.0
+
+
+def q_way_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tiles import way_cell_cover
+
+    fix = _fix(sf_dir)
+    return way_cell_cover(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
+
+
+def sql_way_cover(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import way_cell_cover_oracle_sql
+
+    return way_cell_cover_oracle_sql(_oracle_fix(sf))
+
+
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tiles import radius_prefilter
+
+    fix = _fix(sf_dir)
+    return radius_prefilter(
+        _read(spark, fix, "query_points"), _read(spark, fix, "image_geo"), RADIUS_M
+    )
+
+
+def sql_radius_join(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import radius_prefilter_oracle_sql
+
+    return radius_prefilter_oracle_sql(_oracle_fix(sf), RADIUS_M)
+
+
+def q_auto_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.tiles import auto_radius
+
+    fix = _fix(sf_dir)
+    return auto_radius(_read(spark, fix, "query_points"))
+
+
+def sql_auto_radius(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import auto_radius_oracle_sql
+
+    return auto_radius_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -180,6 +228,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_tiles": q_image_tiles,
     "pip_images": q_pip_images,
     "knn_nodes": q_knn_nodes,
+    "way_cover": q_way_cover,
+    "radius_join": q_radius_join,
+    "auto_radius": q_auto_radius,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -189,4 +240,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "image_tiles": sql_image_tiles,
     "pip_images": sql_pip_images,
     "knn_nodes": sql_knn_nodes,
+    "way_cover": sql_way_cover,
+    "radius_join": sql_radius_join,
+    "auto_radius": sql_auto_radius,
 }
