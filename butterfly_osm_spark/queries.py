@@ -218,6 +218,97 @@ def sql_auto_radius(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline ops over the driver's documents/embeddings tables
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_token_stats(spark, sf_dir):
+    from .operators.text import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from .operators.text import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators.text import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from .operators.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from .operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from .operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from .operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from .operators.ann import cosine_topk_bruteforce
+
+    return cosine_topk_bruteforce(_embs(spark, sf_dir))
+
+
+def q_ann_cosine_lsh(spark, sf_dir):
+    from .operators.ann import cosine_topk_lsh
+
+    return cosine_topk_lsh(_embs(spark, sf_dir))
+
+
+def _sql_text(name: str):
+    from .operators import dedup as _d
+    from .operators import text as _t
+    from .operators.ann import cosine_topk_oracle_sql
+
+    return {
+        "token_stats": _t.token_stats_oracle_sql,
+        "quality_score": _t.quality_score_oracle_sql,
+        "lang_id": _t.lang_id_oracle_sql,
+        "fingerprint": _t.fingerprint_oracle_sql,
+        "dedup_exact": _d.exact_dedup_oracle_sql,
+        "ngram_jaccard": lambda: _d.ngram_jaccard_oracle_sql(JACCARD_T),
+        "ann_cosine_topk": cosine_topk_oracle_sql,
+    }[name]()
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -231,6 +322,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_cover": q_way_cover,
     "radius_join": q_radius_join,
     "auto_radius": q_auto_radius,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_pairs": q_simhash_pairs,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_cosine_lsh": q_ann_cosine_lsh,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -243,4 +344,11 @@ ORACLES: dict[str, Callable[..., str]] = {
     "way_cover": sql_way_cover,
     "radius_join": sql_radius_join,
     "auto_radius": sql_auto_radius,
+    "token_stats": lambda sf=ORACLE_SF: _sql_text("token_stats"),
+    "quality_score": lambda sf=ORACLE_SF: _sql_text("quality_score"),
+    "lang_id": lambda sf=ORACLE_SF: _sql_text("lang_id"),
+    "fingerprint": lambda sf=ORACLE_SF: _sql_text("fingerprint"),
+    "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
+    "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
+    "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
 }
