@@ -81,7 +81,7 @@ FROM ranked WHERE rank <= {k}
 # ---------------------------------------------------------------------------
 
 N_PLANES = 32
-N_BANDS = 4  # 4 bands x 8 bits
+N_BANDS = 8  # 8 bands x 4 bits — tuned for recall on mid-cosine neighbors
 BITS_PER_BAND = N_PLANES // N_BANDS
 
 

@@ -1,0 +1,130 @@
+"""Unit tests for the keystone kernels: cells, codecs, geo, invariants.
+Fixture shapes mirror the reference's in-module synthetic tests
+(spatial.rs:392-525, sparse_contour.rs:1188-1671, region_tiles.rs:277-333)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from butterfly_osm_spark import cells
+from butterfly_osm_spark.codecs.png import (
+    decode_image,
+    decode_png,
+    decode_qnt,
+    encode_png,
+    encode_qnt,
+    psnr_db,
+)
+
+LON = st.integers(min_value=-1_799_999_999, max_value=1_799_999_999)
+LAT = st.integers(min_value=-899_999_999, max_value=899_999_999)
+RES = st.integers(min_value=cells.RES_MIN, max_value=cells.RES_MAX)
+
+
+@given(LON, LAT, RES)
+@settings(max_examples=200, deadline=None)
+def test_cell_pack_unpack_roundtrip(lon, lat, res):
+    c = cells.cell_py(lon, lat, res)
+    x, y, r = cells.unpack_np(np.array([c]))
+    assert r[0] == res
+    mnx, mny, mxx, mxy = cells.cell_bounds_py(c)
+    assert mnx <= lon < mxx
+    assert mny <= lat < mxy
+
+
+@given(LON, LAT, st.integers(7, 13), st.integers(0, 6))
+@settings(max_examples=200, deadline=None)
+def test_parent_consistency(lon, lat, res, up):
+    parent_res = res - up
+    c = cells.cell_np(np.array([lon]), np.array([lat]), res)
+    direct = cells.cell_np(np.array([lon]), np.array([lat]), parent_res)
+    via_parent = cells.parent_np(c, parent_res)
+    assert direct[0] == via_parent[0]
+
+
+def test_cell_boundary_half_open():
+    # point exactly on a cell edge belongs to the higher cell (floor_to_cell
+    # convention, snap_index.rs:327-336)
+    res = 7
+    s = cells.SIZE_E7[res]
+    lon = s - cells.OFF_LON_E7  # exactly the boundary between x=0 and x=1
+    assert cells.cell_py(lon, 0, res) != cells.cell_py(lon - 1, 0, res)
+
+
+def test_png_roundtrip_bit_exact():
+    rng = np.random.default_rng(42)
+    for shape in [(16, 16), (32, 64), (7, 13)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_qnt_lossy_psnr_gate():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    dec = decode_qnt(encode_qnt(img, q=4))
+    assert psnr_db(img, dec) >= 40.0  # BASELINE.json lossy invariant
+
+
+def test_fixture_images_decode_and_phash(fix001):
+    import pyarrow.parquet as pq
+
+    from butterfly_osm_spark.fixtures.generate import _phash64_batch
+
+    t = pq.read_table(f"{fix001}/images.parquet").to_pandas().head(100)
+    for _, r in t.iterrows():
+        img = decode_image(r["bytes"], r["fmt"])
+        assert img.shape == (r["h"], r["w"])
+        if r["fmt"] == "png":
+            # lossless: stored phash must match the decoded image exactly
+            assert _phash64_batch(img) == r["phash"]
+        else:
+            src_like = img  # lossy: check PSNR gate vs re-quantized roundtrip
+            assert psnr_db(src_like, decode_qnt(encode_qnt(img, q=4))) >= 40.0
+
+
+def test_knn_invariants(spark, fix001):
+    from butterfly_osm_spark.operators.knn import CUTOFF_M, knn_join
+
+    out = knn_join(
+        spark.read.parquet(f"{fix001}/query_points.parquet"),
+        spark.read.parquet(f"{fix001}/osm_nodes.parquet"),
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    ks = {
+        r.query_id: r.k for r in spark.read.parquet(f"{fix001}/query_points.parquet").collect()
+    }
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= ks[q]
+        dists = [r.dist_m for r in rows]
+        assert dists == sorted(dists), "kNN distances must be non-decreasing"
+        assert all(d <= CUTOFF_M for d in dists)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_pip_subset_of_bbox(spark, fix001):
+    import duckdb
+
+    from butterfly_osm_spark.operators.pip import pip_join
+
+    hits = {
+        (r.point_id, r.polygon_id)
+        for r in pip_join(
+            spark.read.parquet(f"{fix001}/image_geo.parquet"),
+            spark.read.parquet(f"{fix001}/polygons.parquet"),
+        ).collect()
+    }
+    bbox = duckdb.sql(
+        f"""
+        WITH b AS (SELECT polygon_id, min(least(x1,x2)) mnx, max(greatest(x1,x2)) mxx,
+                          min(least(y1,y2)) mny, max(greatest(y1,y2)) mxy
+                   FROM '{fix001}/polygon_edges.parquet' GROUP BY polygon_id)
+        SELECT g.image_id, b.polygon_id FROM '{fix001}/image_geo.parquet' g JOIN b
+          ON g.lon_e7 BETWEEN mnx AND mxx AND g.lat_e7 BETWEEN mny AND mxy
+        """
+    ).fetchall()
+    assert hits <= set(map(tuple, bbox)), "PIP output must be subset of bbox prefilter"
+    assert len(hits) > 0
