@@ -1,0 +1,109 @@
+"""DEM raster sampling (S14 + R10-R12): SRTM-shaped 1-degree tiles,
+bilinear sub-pixel sampling with void handling.
+
+Reference: route/src/server/elevation.rs — .hgt tiles (row-major
+big-endian i16, north-to-south rows, :23-135), bilinear interpolation
+with void (-32768) propagation (:67-135), filename-keyed 1-degree tiling
+(:137-223), bbox coverage test (:446-470).
+
+Spark shape: points get a (tile_lat, tile_lon) key (floor of degrees —
+a J4 cell join at 1-degree resolution), cogrouped with the tile table;
+each group decodes its tile binary ONCE and samples all its points
+vectorized. The tile payload never shuffles more than once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+VOID = -32768
+E7 = 10_000_000
+
+_OUT_SCHEMA = StructType(
+    [StructField("query_id", StringType()), StructField("elev_m", DoubleType())]
+)
+
+
+def bilinear_np(
+    data: np.ndarray, side: int, fx: np.ndarray, fy: np.ndarray
+) -> np.ndarray:
+    """Bilinear sample; fx, fy in [0, 1) within the tile (fy measured from
+    the SOUTH edge, rows stored north-to-south like .hgt). NaN where any
+    contributing corner is void (elevation.rs void propagation)."""
+    g = data.reshape(side, side)
+    x = fx * (side - 1)
+    y = (1.0 - fy) * (side - 1)  # row 0 = north edge
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, side - 2)
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, side - 2)
+    dx = x - x0
+    dy = y - y0
+    q00 = g[y0, x0].astype(np.float64)
+    q01 = g[y0, x0 + 1].astype(np.float64)
+    q10 = g[y0 + 1, x0].astype(np.float64)
+    q11 = g[y0 + 1, x0 + 1].astype(np.float64)
+    anyvoid = (
+        (g[y0, x0] == VOID) | (g[y0, x0 + 1] == VOID) | (g[y0 + 1, x0] == VOID) | (g[y0 + 1, x0 + 1] == VOID)
+    )
+    v = q00 * (1 - dx) * (1 - dy) + q01 * dx * (1 - dy) + q10 * (1 - dx) * dy + q11 * dx * dy
+    v[anyvoid] = np.nan
+    return v
+
+
+def dem_sample(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
+    """(query_id, elev_m) — bilinear elevation per point; NULL on voids or
+    uncovered tiles. Points columns: query_id, lon_e7, lat_e7."""
+    pts = points.select(
+        "query_id",
+        "lon_e7",
+        "lat_e7",
+        F.floor(F.col("lat_e7").cast("double") / F.lit(float(E7))).cast("int").alias("tile_lat"),
+        F.floor(F.col("lon_e7").cast("double") / F.lit(float(E7))).cast("int").alias("tile_lon"),
+    )
+
+    def sample(key, pts_pdf: pd.DataFrame, tile_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pts_pdf) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype=str), "elev_m": pd.Series(dtype=float)})
+        if len(tile_pdf) == 0:
+            return pd.DataFrame({"query_id": pts_pdf["query_id"], "elev_m": np.nan})
+        side = int(tile_pdf["samples_per_side"].iloc[0])
+        data = np.frombuffer(tile_pdf["data"].iloc[0], dtype=">i2").astype(np.int16)
+        tlat, tlon = key
+        fx = (pts_pdf["lon_e7"].to_numpy(np.float64) / E7) - tlon
+        fy = (pts_pdf["lat_e7"].to_numpy(np.float64) / E7) - tlat
+        v = bilinear_np(data, side, fx, fy)
+        return pd.DataFrame({"query_id": pts_pdf["query_id"].to_numpy(), "elev_m": np.round(v, 3)})
+
+    return (
+        pts.groupBy("tile_lat", "tile_lon")
+        .cogroup(raster_tiles.groupBy("tile_lat", "tile_lon"))
+        .applyInPandas(sample, schema=_OUT_SCHEMA)
+    )
+
+
+def dem_coverage(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
+    """R12: which points fall on a loaded DEM tile (semi-join on tile key)."""
+    pts = points.select(
+        "query_id",
+        F.floor(F.col("lat_e7").cast("double") / F.lit(float(E7))).cast("int").alias("tile_lat"),
+        F.floor(F.col("lon_e7").cast("double") / F.lit(float(E7))).cast("int").alias("tile_lon"),
+    )
+    return pts.join(
+        raster_tiles.select("tile_lat", "tile_lon"), ["tile_lat", "tile_lon"], "left_semi"
+    ).select("query_id", "tile_lat", "tile_lon")
+
+
+def dem_coverage_oracle_sql(fix: str) -> str:
+    return f"""
+SELECT q.query_id,
+       CAST(floor(CAST(q.lat_e7 AS DOUBLE) / 10000000.0) AS INT) AS tile_lat,
+       CAST(floor(CAST(q.lon_e7 AS DOUBLE) / 10000000.0) AS INT) AS tile_lon
+FROM read_parquet('{fix}/query_points.parquet') q
+WHERE EXISTS (
+  SELECT 1 FROM read_parquet('{fix}/raster_tiles.parquet') t
+  WHERE t.tile_lat = CAST(floor(CAST(q.lat_e7 AS DOUBLE) / 10000000.0) AS INT)
+    AND t.tile_lon = CAST(floor(CAST(q.lon_e7 AS DOUBLE) / 10000000.0) AS INT))
+"""

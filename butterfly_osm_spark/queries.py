@@ -309,6 +309,47 @@ def _sql_text(name: str):
 
 
 # ---------------------------------------------------------------------------
+# Raster pipeline (R1-R9) + DEM sampling (S14, R10-R12)
+# ---------------------------------------------------------------------------
+
+
+def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stamp polygon boundaries into bit tiles, balanced-close, Moore-trace,
+    DP-simplify — the full sparse-contour pipeline per polygon."""
+    from .operators.raster import close_regions, stamp_segments, trace_contours
+
+    fix = _fix(sf_dir)
+    segs = _read(spark, fix, "polygon_edges").select(
+        F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2"
+    )
+    tiles = close_regions(stamp_segments(segs, cell_m=50.0), rounds=2)
+    rings = trace_contours(tiles, cell_m=50.0)
+    return rings.select(
+        "region_id", "ring_id", "seq", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
+    )
+
+
+def q_dem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elevation import dem_sample
+
+    fix = _fix(sf_dir)
+    return dem_sample(_read(spark, fix, "query_points"), _read(spark, fix, "raster_tiles"))
+
+
+def q_dem_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elevation import dem_coverage
+
+    fix = _fix(sf_dir)
+    return dem_coverage(_read(spark, fix, "query_points"), _read(spark, fix, "raster_tiles"))
+
+
+def sql_dem_coverage(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import dem_coverage_oracle_sql
+
+    return dem_coverage_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -332,6 +373,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "raster_contour": q_raster_contour,
+    "dem_sample": q_dem_sample,
+    "dem_coverage": q_dem_coverage,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -351,4 +395,5 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
+    "dem_coverage": sql_dem_coverage,
 }

@@ -1,0 +1,70 @@
+"""Raster pipeline invariants (no SQL oracle — sequential-trace semantics):
+stamp/close/trace determinism, bbox consistency, origin containment."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from butterfly_osm_spark.geo import mercator_np
+from butterfly_osm_spark.operators.raster import close_regions, stamp_segments, trace_contours
+
+
+def _segments(spark, fix001, n_poly=20):
+    segs = spark.read.parquet(f"{fix001}/polygon_edges.parquet").select(
+        F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2"
+    )
+    ids = [r.region_id for r in segs.select("region_id").distinct().orderBy("region_id").limit(n_poly).collect()]
+    return segs.filter(F.col("region_id").isin(ids)), ids
+
+
+def test_raster_contour_invariants(spark, fix001):
+    segs, ids = _segments(spark, fix001)
+    tiles = close_regions(stamp_segments(segs, cell_m=50.0), rounds=2)
+    rings = trace_contours(tiles, cell_m=50.0).toPandas()
+    assert set(rings.region_id) == set(ids), "every polygon must produce a contour"
+    # every traced ring must enclose its polygon centroid (outer ring exists)
+    edges = spark.read.parquet(f"{fix001}/polygon_edges.parquet").toPandas()
+    for rid in ids[:10]:
+        e = edges[edges.polygon_id == rid]
+        cx_e7, cy_e7 = e.x1.mean(), e.y1.mean()
+        mx, my = mercator_np(np.array([cx_e7]), np.array([cy_e7]))
+        r0 = rings[(rings.region_id == rid)]
+        outer = r0[r0.ring_id == r0.ring_id.min()].sort_values("seq")
+        # point-in-ring via raycast in mercator coords
+        x1 = outer.mx.to_numpy(); y1 = outer.my.to_numpy()
+        x2 = np.roll(x1, -1); y2 = np.roll(y1, -1)
+        cond = (y1 > my[0]) != (y2 > my[0])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (my[0] - y1) / (y2 - y1) + x1
+        inside = (cond & (mx[0] < xint)).sum() % 2 == 1
+        assert inside, f"{rid}: centroid not inside traced boundary"
+
+
+def test_raster_contour_deterministic(spark, fix001):
+    segs, _ = _segments(spark, fix001, n_poly=8)
+    def run():
+        t = close_regions(stamp_segments(segs, cell_m=50.0), rounds=2)
+        return trace_contours(t, cell_m=50.0).orderBy("region_id", "ring_id", "seq").collect()
+    a, b = run(), run()
+    assert a == b
+
+
+def test_dem_sample_matches_numpy_oracle(spark, fix001):
+    import pandas as pd
+
+    from butterfly_osm_spark.operators.elevation import bilinear_np, dem_sample
+
+    pts = spark.read.parquet(f"{fix001}/query_points.parquet").limit(300)
+    got = {r.query_id: r.elev_m for r in dem_sample(pts, spark.read.parquet(f"{fix001}/raster_tiles.parquet")).collect()}
+    tiles = spark.read.parquet(f"{fix001}/raster_tiles.parquet").toPandas()
+    tmap = {(r.tile_lat, r.tile_lon): r for _, r in tiles.iterrows()}
+    for r in pts.collect():
+        tl = (int(np.floor(r.lat_e7 / 1e7)), int(np.floor(r.lon_e7 / 1e7)))
+        want = np.nan
+        if tl in tmap:
+            t = tmap[tl]
+            data = np.frombuffer(t.data, dtype=">i2").astype(np.int16)
+            fx = np.array([r.lon_e7 / 1e7 - tl[1]])
+            fy = np.array([r.lat_e7 / 1e7 - tl[0]])
+            want = np.round(bilinear_np(data, t.samples_per_side, fx, fy), 3)[0]
+        g = got[r.query_id]
+        assert (np.isnan(want) and (g is None or np.isnan(g))) or g == want
