@@ -1,0 +1,227 @@
+"""Checkpointed, resumable multi-stage builds with per-partition lineage.
+
+Mirrors the reference's lock-file protocol: every build step writes
+``stepN.lock.json`` with input SHA-256s + row counts + bbox, and a failed
+step leaves prior artifacts valid so the build resumes at step
+granularity (route/src/validate/mod.rs:36-60; lazy CRC verification on
+first access, route/src/formats/lazy_verify.rs:1-30).
+
+Spark shape (SURVEY.md §7.1 step 7 / C5):
+- each stage is a DataFrame job writing a parquet table under
+  ``build_dir/<stage>`` (atomic tmp -> rename commit, the same
+  write-then-publish discipline as the reference's .tmp lock files);
+- the checkpoint "table" is ``build_dir/_checkpoint/<stage>.json`` with
+  the stage fingerprint (chained over upstream fingerprints + stage
+  version — the lock-file input-SHA chain), total row count, and
+  PER-PARTITION row counts (the north rule's per-partition lineage);
+- resume = skip stages whose fingerprint matches AND whose published
+  output row count re-verifies (the lazy-verify analog). Any mismatch
+  (missing dir, corrupted/truncated parquet, changed upstream) recomputes
+  that stage and everything downstream of it through the fingerprint
+  chain.
+
+On a cluster the same protocol lands on an Iceberg checkpoint table
+(snapshot ids instead of fingerprints); parquet-dir commits keep the
+sandbox dependency-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ENGINE_VERSION = "0.1.0"  # bump to invalidate all checkpoints (schema change)
+
+
+@dataclass
+class Stage:
+    name: str
+    # fn(spark, resolved_inputs: dict[name -> DataFrame]) -> DataFrame
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    inputs: list[str] = field(default_factory=list)  # upstream stage names or raw: paths
+    version: str = "1"  # bump when stage logic changes
+
+
+def _ckpt_dir(build_dir: str) -> str:
+    return os.path.join(build_dir, "_checkpoint")
+
+
+def _ckpt_path(build_dir: str, stage: str) -> str:
+    return os.path.join(_ckpt_dir(build_dir), f"{stage}.json")
+
+
+def _raw_fingerprint(path: str) -> str:
+    """Fingerprint an external input path by file names + sizes (content
+    hash would re-read TBs; size+name catches regeneration, and upstream
+    stages chain their own fingerprints)."""
+    h = hashlib.sha256()
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            h.update(f"{f}:{st.st_size}".encode())
+    else:
+        st = os.stat(path)
+        h.update(f"{os.path.basename(path)}:{st.st_size}".encode())
+    return h.hexdigest()
+
+
+def _partition_counts(df: DataFrame) -> list[int]:
+    rows = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out: dict[int, int] = {r["_pid"]: r["n"] for r in rows}
+    return [out.get(i, 0) for i in range(max(out) + 1)] if out else []
+
+
+class Build:
+    """Sequential stage runner with fingerprint-chained resume."""
+
+    def __init__(self, spark: SparkSession, build_dir: str):
+        self.spark = spark
+        self.build_dir = build_dir
+        os.makedirs(_ckpt_dir(build_dir), exist_ok=True)
+        self._fingerprints: dict[str, str] = {}
+        self.stats: list[dict] = []
+
+    def _stage_fingerprint(self, stage: Stage) -> str:
+        h = hashlib.sha256()
+        h.update(ENGINE_VERSION.encode())
+        h.update(stage.name.encode())
+        h.update(stage.version.encode())
+        for inp in stage.inputs:
+            if inp.startswith("raw:"):
+                h.update(_raw_fingerprint(inp[4:]).encode())
+            else:
+                h.update(self._fingerprints[inp].encode())
+        return h.hexdigest()
+
+    def _out_path(self, stage: str) -> str:
+        return os.path.join(self.build_dir, stage)
+
+    def output(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._out_path(stage))
+
+    def _verify_published(self, stage: Stage, meta: dict) -> bool:
+        """Lazy-verify analog: re-count the published table on resume."""
+        out = self._out_path(stage.name)
+        if not os.path.isdir(out):
+            return False
+        try:
+            n = self.spark.read.parquet(out).count()
+        except Exception:
+            return False
+        return n == meta["row_count"]
+
+    def run_stage(self, stage: Stage) -> dict:
+        fp = self._stage_fingerprint(stage)
+        self._fingerprints[stage.name] = fp
+        cpath = _ckpt_path(self.build_dir, stage.name)
+        if os.path.exists(cpath):
+            meta = json.load(open(cpath))
+            if meta["fingerprint"] == fp and self._verify_published(stage, meta):
+                meta["resumed"] = True
+                self.stats.append(meta)
+                return meta
+
+        t0 = time.time()
+        resolved = {}
+        for inp in stage.inputs:
+            if inp.startswith("raw:"):
+                resolved[os.path.splitext(os.path.basename(inp[4:]))[0]] = self.spark.read.parquet(
+                    inp[4:]
+                )
+            else:
+                resolved[inp] = self.output(inp)
+        df = stage.fn(self.spark, resolved)
+
+        out = self._out_path(stage.name)
+        tmp = out + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        published = self.spark.read.parquet(tmp)
+        parts = _partition_counts(published)
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+
+        meta = {
+            "stage": stage.name,
+            "fingerprint": fp,
+            "row_count": int(sum(parts)),
+            "partition_rows": parts,
+            "n_partitions": len(parts),
+            "wall_s": round(time.time() - t0, 3),
+            "engine_version": ENGINE_VERSION,
+            "resumed": False,
+        }
+        with open(cpath + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.rename(cpath + ".tmp", cpath)
+        self.stats.append(meta)
+        return meta
+
+    def run(self, stages: list[Stage]) -> list[dict]:
+        return [self.run_stage(s) for s in stages]
+
+
+# ---------------------------------------------------------------------------
+# The reference build pipeline expressed as checkpointed stages
+# ---------------------------------------------------------------------------
+
+
+def reference_pipeline(fix: str) -> list[Stage]:
+    """Step 1-3-analog build over the fixtures: sorted nodes -> way attrs ->
+    edges -> image cell index -> PIP pairs (each stage resumable)."""
+    from . import cells
+    from .functions.model import compile_way_attrs
+    from .operators.extract import build_edges
+    from .operators.pip import pip_join
+
+    def nodes_sorted(spark, ins):
+        # total-order contract (ingest/mod.rs:201-207)
+        return ins["osm_nodes"].orderBy("id", "lat_e7", "lon_e7")
+
+    def way_attrs(spark, ins):
+        return compile_way_attrs(ins["osm_ways"])
+
+    def edges(spark, ins):
+        return build_edges(ins["osm_ways"], ins["way_nodes"], ins["nodes_sorted"])
+
+    def image_cells(spark, ins):
+        g = ins["image_geo"]
+        return g.select(
+            "image_id",
+            "lon_e7",
+            "lat_e7",
+            cells.cell_col("lon_e7", "lat_e7", 7).alias("cell_r7"),
+            cells.cell_col("lon_e7", "lat_e7", 12).alias("cell_r12"),
+        ).repartition("cell_r7")
+
+    def pip_pairs(spark, ins):
+        return pip_join(ins["image_cells"], ins["polygons"]).withColumnRenamed(
+            "point_id", "image_id"
+        )
+
+    return [
+        Stage("nodes_sorted", nodes_sorted, [f"raw:{fix}/osm_nodes.parquet"]),
+        Stage("way_attrs", way_attrs, [f"raw:{fix}/osm_ways.parquet"]),
+        Stage(
+            "edges",
+            edges,
+            [f"raw:{fix}/osm_ways.parquet", f"raw:{fix}/way_nodes.parquet", "nodes_sorted"],
+        ),
+        Stage("image_cells", image_cells, [f"raw:{fix}/image_geo.parquet"]),
+        Stage("pip_pairs", pip_pairs, ["image_cells", f"raw:{fix}/polygons.parquet"]),
+    ]
