@@ -1,0 +1,507 @@
+"""Deterministic synthetic fixtures (seed 42) — the FIXTURES.md tables.
+
+Pure numpy + pyarrow (no Spark session needed: the DuckDB oracle side
+builds SQL strings against these files before any session exists).
+Modeled on the reference's synthetic test fixtures: hand-placed
+geometries (reference route/src/server/spatial.rs:392-525), Belgium
+coord pairs (route/src/server/consistency_test.rs:22-38) and the
+BASELINE.json ``input_hint`` image+caption table. All coordinates are
+fixed-point i32 at 1e-7 degrees (route/src/formats/nodes_sa.rs:37);
+bbox = Belgium-like [49.5, 51.5]N x [2.5, 6.4]E.
+
+Tables written under ``<repo>/fixtures/sf{sf}/`` (gitignored, generated
+on demand, atomic tmp->rename commit, ``_SUCCESS`` marker):
+
+- osm_nodes(id, lat_e7, lon_e7)             sorted by id (total-order
+  contract, ingest/mod.rs:201-207); way vertices + standalone points
+- osm_ways(id, nodes ARRAY<BIGINT>, tags MAP<STRING,STRING>)
+- way_nodes(way_id, seq, node_id)           normalized explode (oracle side)
+- way_tags(way_id, key, value)              normalized tags (oracle side)
+- images(image_id, bytes, w, h, fmt, caption, phash)   input_hint schema;
+  fmt 'png' (lossless, real PNG) / 'qnt' (deterministic lossy stand-in —
+  no JPEG lib in the container, see codecs/png.py)
+- image_geo(image_id, lon_e7, lat_e7)       georeferencing: 60% clustered
+  +-0.1 deg around 5 city centers (hot cells for salting/AQE), 40% uniform
+- polygons(polygon_id, ring ARRAY<STRUCT<lon_e7,lat_e7>>, wkb)
+  star polygons, 3-64 vertices, radii 100 m - 20 km (log-uniform)
+- polygon_edges(polygon_id, seq, x1, y1, x2, y2)  closed edge list
+  (seq n-1 wraps to vertex 0 — matches operators.pip.polygon_edges_df)
+- query_points(query_id, lon_e7, lat_e7, k)  k in {1,8,64}; 80% within
+  ~100 m of a way, 15% 1-5 km away, 5% beyond the 5 km snap cutoff
+- raster_tiles(tile_lat, tile_lon, samples_per_side, data)  SRTM-shaped
+  1-degree tiles, row-major big-endian i16 (north-to-south rows), ~1%
+  voids (-32768), 12 of the 15 bbox tiles loaded (coverage gaps on purpose)
+
+Row counts scale as sf/0.01 from the sf=0.01 base (ways 3000, images
+20000, queries 1500); polygons fixed at 200; image *payload* rows are
+capped at 4000 (bytes exist to exercise decode/PSNR plumbing — geo rows,
+which feed every join, scale fully).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
+
+SEED = 42
+
+# Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
+LON_MIN, LON_MAX = 2.5, 6.4
+LAT_MIN, LAT_MAX = 49.5, 51.5
+E7 = 10_000_000
+# engine's fixed equirect constants (route/src/server/spatial.rs:226-230)
+M_PER_DEG_LAT = 111_000.0
+M_PER_DEG_LON = 71_400.0
+
+# 5 city centers (clustered mass — mirrors the reference's clustered-city
+# benchmark coords, honest-flight REPORT.md:14-15)
+CITIES = [(4.35, 50.85), (4.40, 51.22), (3.72, 51.05), (4.44, 50.41), (5.57, 50.63)]
+
+HIGHWAY_CLASSES = ["motorway", "primary", "secondary", "tertiary", "residential", "footway", "track", "proposed"]
+HIGHWAY_P = [0.02, 0.08, 0.12, 0.15, 0.35, 0.15, 0.08, 0.05]  # 'proposed' = no access (J1 exclusion)
+MAXSPEEDS = ["30", "50", "70", "90", "110", "120"]
+
+WORDS = (
+    "canal bridge tower square market tram facade spire river street gable belfry "
+    "cobblestone garden station harbor mural rooftop abbey fountain gate arch park "
+    "windmill lock quay chapel terrace courtyard lane crossing boulevard skyline dusk "
+    "morning autumn rain fog snow summer evening"
+).split()
+
+IMG_BYTES_CAP = 4000
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fixture_dir(sf: str) -> str:
+    root = os.environ.get("BUTTERFLY_FIXTURE_DIR", os.path.join(_repo_root(), "fixtures"))
+    return os.path.join(root, f"sf{sf}")
+
+
+def _counts(sf: str) -> dict[str, int]:
+    scale = float(sf) / 0.01
+    return {
+        "ways": max(60, int(3000 * scale)),
+        "extra_nodes": max(300, int(5000 * scale)),
+        "images": max(500, int(20000 * scale)),
+        "queries": max(150, int(1500 * scale)),
+        "polygons": 200,
+    }
+
+
+def _write(d: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+
+def _clustered_points(rng: np.random.Generator, n: int, frac_clustered: float = 0.6, spread: float = 0.1):
+    """(lon_deg, lat_deg) arrays: frac clustered +-spread around cities, rest uniform."""
+    n_c = int(n * frac_clustered)
+    city = rng.integers(0, len(CITIES), n_c)
+    cx = np.array([c[0] for c in CITIES])[city] + rng.uniform(-spread, spread, n_c)
+    cy = np.array([c[1] for c in CITIES])[city] + rng.uniform(-spread, spread, n_c)
+    ux = rng.uniform(LON_MIN + 0.05, LON_MAX - 0.05, n - n_c)
+    uy = rng.uniform(LAT_MIN + 0.05, LAT_MAX - 0.05, n - n_c)
+    return np.concatenate([cx, ux]), np.concatenate([cy, uy])
+
+
+# ---------------------------------------------------------------------------
+# ways + nodes (random walks with shared intersection nodes)
+# ---------------------------------------------------------------------------
+
+
+def _gen_ways_nodes(rng: np.random.Generator, n_ways: int, n_extra: int):
+    L = rng.integers(2, 13, n_ways)
+    V = int(L.sum())
+    starts = np.concatenate([[0], np.cumsum(L)[:-1]])
+    way_of = np.repeat(np.arange(n_ways), L)
+    first = np.zeros(V, bool)
+    first[starts] = True
+
+    slon, slat = _clustered_points(rng, n_ways, 0.6, 0.15)
+    base_h = rng.uniform(0, 2 * np.pi, n_ways)[way_of]
+    h = base_h + rng.normal(0, 0.5, V)
+    step_m = rng.uniform(80, 350, V)
+    dx = step_m * np.cos(h) / M_PER_DEG_LON * E7
+    dy = step_m * np.sin(h) / M_PER_DEG_LAT * E7
+    dx[first] = 0.0
+    dy[first] = 0.0
+    cx = np.cumsum(dx)
+    cy = np.cumsum(dy)
+    lon_e7 = np.round(slon[way_of] * E7 + cx - np.repeat(cx[starts], L)).astype(np.int64)
+    lat_e7 = np.round(slat[way_of] * E7 + cy - np.repeat(cy[starts], L)).astype(np.int64)
+
+    # shared intersection nodes: ~8% of ways reuse an earlier way's vertex
+    # at one interior position (drives the usage>=2 decision-node join,
+    # reference route/src/nbg/mod.rs:353-358)
+    node_idx = np.arange(V, dtype=np.int64)
+    candidates = [w for w in range(1, n_ways) if L[w] >= 3]
+    n_share = max(1, int(0.08 * n_ways))
+    chosen = rng.choice(len(candidates), size=min(n_share, len(candidates)), replace=False)
+    for ci in chosen:
+        w = candidates[ci]
+        pos = starts[w] + int(rng.integers(1, L[w] - 1))
+        donor = int(rng.integers(0, starts[w]))
+        node_idx[pos] = donor
+    # resolve donor chains (donors always point backward)
+    while True:
+        nxt = node_idx[node_idx]
+        if np.array_equal(nxt, node_idx):
+            break
+        node_idx = nxt
+
+    used = np.unique(node_idx)
+    compact = np.full(V, -1, dtype=np.int64)
+    compact[used] = np.arange(len(used))
+    vert_node = compact[node_idx]  # per-vertex compact node position
+
+    # node coordinates: shared vertices take the donor's coords
+    n_way_nodes = len(used)
+    node_lon = lon_e7[used]
+    node_lat = lat_e7[used]
+    ex, ey = _clustered_points(rng, n_extra, 0.5, 0.12)
+    node_lon = np.concatenate([node_lon, np.round(ex * E7).astype(np.int64)])
+    node_lat = np.concatenate([node_lat, np.round(ey * E7).astype(np.int64)])
+    n_nodes = n_way_nodes + n_extra
+
+    # sparse ascending ids (stride 1-1000, ingest sort contract)
+    ids = np.cumsum(rng.integers(1, 1001, n_nodes)).astype(np.int64)
+    vert_node_id = ids[vert_node]
+
+    way_ids = np.cumsum(rng.integers(1, 50, n_ways)).astype(np.int64)
+
+    # tags
+    hw = rng.choice(HIGHWAY_CLASSES, n_ways, p=HIGHWAY_P)
+    tag_rows: list[tuple[int, str, str]] = []
+    keys_all: list[list[str]] = []
+    vals_all: list[list[str]] = []
+    r_one = rng.random(n_ways)
+    r_ms = rng.random(n_ways)
+    r_lit = rng.random(n_ways)
+    r_sur = rng.random(n_ways)
+    r_name = rng.random(n_ways)
+    ms_pick = rng.integers(0, len(MAXSPEEDS), n_ways)
+    sur_pick = rng.choice(["asphalt", "gravel", "paved"], n_ways)
+    lit_pick = rng.choice(["yes", "no"], n_ways)
+    for w in range(n_ways):
+        kv = [("highway", str(hw[w]))]
+        if r_one[w] < 0.20:
+            kv.append(("oneway", "yes"))
+        if r_ms[w] < 0.30:
+            kv.append(("maxspeed", MAXSPEEDS[ms_pick[w]]))
+        if r_lit[w] < 0.25:
+            kv.append(("lit", str(lit_pick[w])))
+        if r_sur[w] < 0.20:
+            kv.append(("surface", str(sur_pick[w])))
+        if r_name[w] < 0.30:
+            kv.append(("name", f"Way {way_ids[w]}"))
+        keys_all.append([k for k, _ in kv])
+        vals_all.append([v for _, v in kv])
+        tag_rows.extend((int(way_ids[w]), k, v) for k, v in kv)
+
+    return {
+        "L": L,
+        "starts": starts,
+        "way_of": way_of,
+        "way_ids": way_ids,
+        "vert_node_id": vert_node_id,
+        "node_ids": ids,
+        "node_lon": node_lon,
+        "node_lat": node_lat,
+        "tag_rows": tag_rows,
+        "tag_keys": keys_all,
+        "tag_vals": vals_all,
+        "V": V,
+    }
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+
+def _phash64_batch(img: np.ndarray) -> int:
+    """Perceptual hash of one decoded grayscale image (see codecs.png.phash64)."""
+    return phash64(img)
+
+
+def _gen_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    """Seeded gradient + noise pattern (FIXTURES.md §1)."""
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    a, b = rng.uniform(0.5, 2.0, 2)
+    grad = (a * xx + b * yy) / (a * w + b * h) * 255.0
+    noise = rng.normal(0, 12.0, (h, w))
+    return np.clip(grad + noise, 0, 255).astype(np.uint8)
+
+
+def _gen_images(rng: np.random.Generator, n_geo: int):
+    ids = [f"img{i:010d}" for i in range(n_geo)]
+    lon, lat = _clustered_points(rng, n_geo, 0.6, 0.1)
+    perm = rng.permutation(n_geo)  # interleave clustered/uniform across ids
+    lon_e7 = np.round(lon[perm] * E7).astype(np.int32)
+    lat_e7 = np.round(lat[perm] * E7).astype(np.int32)
+
+    n_bytes = min(n_geo, IMG_BYTES_CAP)
+    sizes = np.array([64, 128, 256])
+    ws = sizes[rng.integers(0, 3, n_bytes)]
+    hs = sizes[rng.integers(0, 3, n_bytes)]
+    fmts = np.where(rng.random(n_bytes) < 0.7, "png", "qnt")
+    blobs: list[bytes] = []
+    phashes: list[int] = []
+    captions: list[str] = []
+    wl = np.array(WORDS)
+    for i in range(n_bytes):
+        img = _gen_image(rng, int(ws[i]), int(hs[i]))
+        if fmts[i] == "png":
+            blobs.append(encode_png(img))
+            phashes.append(phash64(img))
+        else:
+            enc = encode_qnt(img, q=4)
+            blobs.append(enc)
+            phashes.append(phash64(decode_qnt(enc)))
+        nw = int(rng.integers(5, 21))
+        captions.append(" ".join(wl[rng.integers(0, len(wl), nw)]))
+    images = pa.table(
+        {
+            "image_id": pa.array(ids[:n_bytes]),
+            "bytes": pa.array(blobs, type=pa.binary()),
+            "w": pa.array(ws.astype(np.int32)),
+            "h": pa.array(hs.astype(np.int32)),
+            "fmt": pa.array([str(f) for f in fmts]),
+            "caption": pa.array(captions),
+            "phash": pa.array(phashes, type=pa.int64()),
+        }
+    )
+    geo = pa.table(
+        {
+            "image_id": pa.array(ids),
+            "lon_e7": pa.array(lon_e7),
+            "lat_e7": pa.array(lat_e7),
+        }
+    )
+    return images, geo
+
+
+# ---------------------------------------------------------------------------
+# polygons
+# ---------------------------------------------------------------------------
+
+
+def _wkb_polygon(lon_e7: np.ndarray, lat_e7: np.ndarray) -> bytes:
+    """WKB LE polygon, one ring, closed, CCW not enforced here (S10 encoder
+    handles orientation; reference route/src/range/wkb_stream.rs:15-25)."""
+    n = len(lon_e7) + 1
+    out = [struct.pack("<BII", 1, 3, 1), struct.pack("<I", n)]
+    for i in list(range(len(lon_e7))) + [0]:
+        out.append(struct.pack("<dd", lon_e7[i] / E7, lat_e7[i] / E7))
+    return b"".join(out)
+
+
+def _gen_polygons(rng: np.random.Generator, n_poly: int):
+    pids, rings, wkbs, edge_rows = [], [], [], []
+    cx_all, cy_all = _clustered_points(rng, n_poly, 0.7, 0.12)
+    for p in range(n_poly):
+        pid = f"poly{p:05d}"
+        n_v = int(rng.integers(3, 65))
+        radius_m = float(np.exp(rng.uniform(np.log(100.0), np.log(20000.0))))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n_v))
+        rad = radius_m * rng.uniform(0.5, 1.0, n_v)
+        x = np.round(cx_all[p] * E7 + rad * np.cos(ang) / M_PER_DEG_LON * E7).astype(np.int64)
+        y = np.round(cy_all[p] * E7 + rad * np.sin(ang) / M_PER_DEG_LAT * E7).astype(np.int64)
+        # drop consecutive duplicates after quantization (keep >= 3 vertices)
+        keep = np.ones(len(x), bool)
+        keep[1:] = (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        if keep.sum() >= 3 and (x[keep][0] != x[keep][-1] or y[keep][0] != y[keep][-1]):
+            x, y = x[keep], y[keep]
+        pids.append(pid)
+        rings.append([{"lon_e7": int(a), "lat_e7": int(b)} for a, b in zip(x, y)])
+        wkbs.append(_wkb_polygon(x, y))
+        n = len(x)
+        for i in range(n):
+            j = (i + 1) % n
+            edge_rows.append((pid, i, int(x[i]), int(y[i]), int(x[j]), int(y[j])))
+
+    ring_t = pa.list_(pa.struct([("lon_e7", pa.int32()), ("lat_e7", pa.int32())]))
+    polygons = pa.table(
+        {
+            "polygon_id": pa.array(pids),
+            "ring": pa.array(rings, type=ring_t),
+            "wkb": pa.array(wkbs, type=pa.binary()),
+        }
+    )
+    e = list(zip(*edge_rows))
+    edges = pa.table(
+        {
+            "polygon_id": pa.array(e[0]),
+            "seq": pa.array(np.array(e[1], dtype=np.int32)),
+            "x1": pa.array(np.array(e[2], dtype=np.int32)),
+            "y1": pa.array(np.array(e[3], dtype=np.int32)),
+            "x2": pa.array(np.array(e[4], dtype=np.int32)),
+            "y2": pa.array(np.array(e[5], dtype=np.int32)),
+        }
+    )
+    return polygons, edges
+
+
+# ---------------------------------------------------------------------------
+# query points + raster tiles
+# ---------------------------------------------------------------------------
+
+
+def _gen_query_points(rng: np.random.Generator, n_q: int, node_lon: np.ndarray, node_lat: np.ndarray):
+    n_near = int(n_q * 0.80)
+    n_mid = int(n_q * 0.15)
+    n_far = n_q - n_near - n_mid
+
+    def offset(base_idx: np.ndarray, d_min: float, d_max: float):
+        d = rng.uniform(d_min, d_max, len(base_idx))
+        th = rng.uniform(0, 2 * np.pi, len(base_idx))
+        lo = node_lon[base_idx] + np.round(d * np.cos(th) / M_PER_DEG_LON * E7).astype(np.int64)
+        la = node_lat[base_idx] + np.round(d * np.sin(th) / M_PER_DEG_LAT * E7).astype(np.int64)
+        return lo, la
+
+    i_near = rng.integers(0, len(node_lon), n_near)
+    lo1, la1 = offset(i_near, 0.0, 100.0)
+    i_mid = rng.integers(0, len(node_lon), n_mid)
+    lo2, la2 = offset(i_mid, 1000.0, 5000.0)
+    # beyond the 5 km cutoff: north of every node by 6-10 km
+    far_lat0 = node_lat.max() + int(6000.0 / M_PER_DEG_LAT * E7)
+    la3 = far_lat0 + np.round(rng.uniform(0, 4000.0, n_far) / M_PER_DEG_LAT * E7).astype(np.int64)
+    lo3 = np.round(rng.uniform(LON_MIN, LON_MAX, n_far) * E7).astype(np.int64)
+
+    lon = np.concatenate([lo1, lo2, lo3]).astype(np.int32)
+    lat = np.concatenate([la1, la2, la3]).astype(np.int32)
+    perm = rng.permutation(n_q)
+    k = rng.choice(np.array([1, 8, 64], dtype=np.int32), n_q, p=[0.5, 0.3, 0.2])
+    return pa.table(
+        {
+            "query_id": pa.array([f"q{i:08d}" for i in range(n_q)]),
+            "lon_e7": pa.array(lon[perm]),
+            "lat_e7": pa.array(lat[perm]),
+            "k": pa.array(k),
+        }
+    )
+
+
+def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
+    all_tiles = [(la, lo) for la in (49, 50, 51) for lo in (2, 3, 4, 5, 6)]
+    skip = {(49, 2), (49, 6), (51, 6)}  # deterministic coverage gaps
+    rows = []
+    for tlat, tlon in all_tiles:
+        if (tlat, tlon) in skip:
+            continue
+        ys = tlat + (side - 1 - np.arange(side)) / (side - 1)  # row 0 = north edge
+        xs = tlon + np.arange(side) / (side - 1)
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        field = 200.0 + 150.0 * np.sin(xx * 2.1) + 120.0 * np.cos(yy * 1.7) + 30.0 * np.sin(xx * 7.3 + yy * 5.1)
+        grid = np.round(field).astype(np.int16)
+        voids = rng.random((side, side)) < 0.01
+        grid[voids] = -32768
+        rows.append((tlat, tlon, side, grid.astype(">i2").tobytes()))
+    t = list(zip(*rows))
+    return pa.table(
+        {
+            "tile_lat": pa.array(np.array(t[0], dtype=np.int32)),
+            "tile_lon": pa.array(np.array(t[1], dtype=np.int32)),
+            "samples_per_side": pa.array(np.array(t[2], dtype=np.int32)),
+            "data": pa.array(list(t[3]), type=pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def generate(sf: str, out_dir: str) -> None:
+    rng = np.random.default_rng(SEED)
+    c = _counts(sf)
+
+    wn = _gen_ways_nodes(rng, c["ways"], c["extra_nodes"])
+    _write(
+        out_dir,
+        "osm_nodes",
+        pa.table(
+            {
+                "id": pa.array(wn["node_ids"]),
+                "lat_e7": pa.array(wn["node_lat"].astype(np.int32)),
+                "lon_e7": pa.array(wn["node_lon"].astype(np.int32)),
+            }
+        ),
+    )
+
+    L, starts, way_ids = wn["L"], wn["starts"], wn["way_ids"]
+    vn = wn["vert_node_id"]
+    offsets = np.concatenate([[0], np.cumsum(L)]).astype(np.int32)
+    nodes_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vn))
+    tag_offsets = np.concatenate([[0], np.cumsum([len(k) for k in wn["tag_keys"]])]).astype(np.int32)
+    flat_keys = [k for ks in wn["tag_keys"] for k in ks]
+    flat_vals = [v for vs in wn["tag_vals"] for v in vs]
+    tags_map = pa.MapArray.from_arrays(pa.array(tag_offsets), pa.array(flat_keys), pa.array(flat_vals))
+    _write(
+        out_dir,
+        "osm_ways",
+        pa.table({"id": pa.array(way_ids), "nodes": nodes_list, "tags": tags_map}),
+    )
+
+    seq = np.concatenate([np.arange(n, dtype=np.int32) for n in L])
+    _write(
+        out_dir,
+        "way_nodes",
+        pa.table(
+            {
+                "way_id": pa.array(np.repeat(way_ids, L)),
+                "seq": pa.array(seq),
+                "node_id": pa.array(vn),
+            }
+        ),
+    )
+    tr = list(zip(*wn["tag_rows"]))
+    _write(
+        out_dir,
+        "way_tags",
+        pa.table(
+            {
+                "way_id": pa.array(np.array(tr[0], dtype=np.int64)),
+                "key": pa.array(list(tr[1])),
+                "value": pa.array(list(tr[2])),
+            }
+        ),
+    )
+
+    images, geo = _gen_images(rng, c["images"])
+    _write(out_dir, "images", images)
+    _write(out_dir, "image_geo", geo)
+
+    polygons, edges = _gen_polygons(rng, c["polygons"])
+    _write(out_dir, "polygons", polygons)
+    _write(out_dir, "polygon_edges", edges)
+
+    _write(out_dir, "query_points", _gen_query_points(rng, c["queries"], wn["node_lon"], wn["node_lat"]))
+    _write(out_dir, "raster_tiles", _gen_raster_tiles(rng))
+
+
+def ensure_fixtures(sf: str) -> str:
+    """Generate (once) and return the fixture dir for scale factor ``sf``."""
+    d = fixture_dir(sf)
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    tmp = f"{d}.tmp-{os.getpid()}"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    generate(sf, tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    if os.path.exists(d):  # lost a race or stale partial dir
+        shutil.rmtree(d)
+    os.rename(tmp, d)
+    return d
