@@ -10,8 +10,9 @@ Training-data-pipeline extensions (graft mandate). Design notes per op:
   |union| = na + nb - i. Pure SQL, oracle-checked. The shingle join is
   the scale bottleneck (hot shingles fan out) — that is exactly what the
   MinHash path fixes.
-- ``minhash_lsh_pairs``: 64 minhashes (splitmix64-mixed FNV-1a shingle
-  hashes) in a vectorized pandas UDF, banded 8x8; candidates = same band
+- ``minhash_lsh_pairs``: 64 minhashes (splitmix64-mixed xxhash64 shingle
+  hashes, hashing JVM-side) in a vectorized pandas UDF, banded 8x8;
+  candidates = same band
   hash; candidates verified with EXACT jaccard via array_intersect /
   array_union (JVM-side). With b=8,r=8 the collision curve is
   P(candidate) = 1-(1-j^8)^8: j=0.9 -> 0.98, j=0.5 -> 0.031 — right for
@@ -123,16 +124,13 @@ WHERE round(CAST(i AS DOUBLE) / CAST(na.n + nb.n - i AS DOUBLE), 6) >= {threshol
 # MinHash + LSH (the 100 TB-scale path)
 # ---------------------------------------------------------------------------
 
-_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-_FNV_PRIME = np.uint64(0x100000001B3)
 _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
-
-def _fnv1a(s: str) -> np.uint64:
-    h = _FNV_OFFSET
-    for byte in s.encode("utf-8"):
-        h = ((h ^ np.uint64(byte)) * _FNV_PRIME) & _M64
-    return h
+# String hashing happens JVM-side (xxhash64 inside whole-stage codegen) —
+# Python only mixes/aggregates fixed-width ints, fully vectorized. This is
+# the "no per-row Python" discipline of the input_hint.
+_HASH_SHINGLES = "transform(shingles, s -> xxhash64(s))"
+_HASH_WORDS = "transform(split(trim(text), ' '), w -> xxhash64(w))"
 
 
 def _splitmix(z: np.ndarray) -> np.ndarray:
@@ -146,13 +144,16 @@ _SEEDS = _splitmix(np.arange(N_HASHES, dtype=np.uint64) + np.uint64(0xB5))
 
 
 @F.pandas_udf(ArrayType(LongType()))
-def minhash64(shingles: pd.Series) -> pd.Series:
-    """64 minhash values per shingle set (vectorized across the hash lanes)."""
+def minhash64(shingle_hashes: pd.Series) -> pd.Series:
+    """64 minhash values per pre-hashed shingle set (JVM xxhash64 input;
+    Python side is pure vectorized seed-mixing + min)."""
     out = []
-    for arr in shingles:
-        hs = np.array([_fnv1a(s) for s in arr], dtype=np.uint64)
-        if len(hs) == 0:
-            hs = np.array([0], dtype=np.uint64)
+    for arr in shingle_hashes:
+        hs = (
+            np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if len(arr)
+            else np.array([0], dtype=np.uint64)
+        )
         # (n_hashes, n_shingles): mix each shingle hash with each seed
         mixed = _splitmix(hs[None, :] ^ _SEEDS[:, None])
         out.append(mixed.min(axis=1).astype(np.int64).tolist())
@@ -167,7 +168,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     shuffle (only doc_id + 64 longs + shingle arrays of the candidates).
     """
     sh = _with_shingles(documents).persist()
-    mh = sh.select("doc_id", minhash64("shingles").alias("mh"))
+    mh = sh.select("doc_id", minhash64(F.expr(_HASH_SHINGLES)).alias("mh"))
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -215,21 +216,22 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+_BIT_POWERS = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 @F.pandas_udf(LongType())
-def simhash64(words: pd.Series) -> pd.Series:
-    """64-bit simhash over the word multiset (FNV-1a word hashes)."""
-    out = np.empty(len(words), dtype=np.int64)
-    for i, arr in enumerate(words):
+def simhash64(word_hashes: pd.Series) -> pd.Series:
+    """64-bit simhash over the word multiset (JVM xxhash64 word hashes;
+    Python side is vectorized bit-unpack + sign aggregation)."""
+    out = np.empty(len(word_hashes), dtype=np.int64)
+    for i, arr in enumerate(word_hashes):
         if len(arr) == 0:
             out[i] = 0
             continue
-        hs = np.array([_fnv1a(w) for w in arr], dtype=np.uint64)
+        hs = np.asarray(arr, dtype=np.int64).view(np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
         sums = (2 * bits - 1).sum(axis=0)
-        v = np.uint64(0)
-        for k in np.nonzero(sums > 0)[0]:
-            v |= np.uint64(1) << np.uint64(k)
-        out[i] = np.int64(v.astype(np.int64))
+        out[i] = _BIT_POWERS[sums > 0].sum(dtype=np.uint64).astype(np.int64)
     return pd.Series(out)
 
 
@@ -237,7 +239,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(doc_a, doc_b, hamming) pairs with simhash hamming <= max_hamming.
     Band join on 4x16-bit chunks guarantees completeness for hamming <= 3."""
     sh = documents.select(
-        "doc_id", simhash64(F.split(F.trim("text"), " ")).alias("sim")
+        "doc_id", simhash64(F.expr(_HASH_WORDS)).alias("sim")
     ).persist()
     bands = sh.select(
         "doc_id",

@@ -301,15 +301,57 @@ def _dp_simplify(pts: np.ndarray, tol: float) -> np.ndarray:
     return pts[keep]
 
 
-def trace_contours(tiles: DataFrame, cell_m: float = 50.0, simplify_tol_cells: float = 1.5) -> DataFrame:
-    """R4+R6+R9: per-region boundary rings in Mercator metres.
+def _dilate3_np(g: np.ndarray) -> np.ndarray:
+    """3x3 binary dilation (separable max filter), zeros outside."""
+    v = g.copy()
+    v[:-1] |= g[1:]
+    v[1:] |= g[:-1]
+    h = v.copy()
+    h[:, :-1] |= v[:, 1:]
+    h[:, 1:] |= v[:, :-1]
+    return h
+
+
+def _erode3_np(g: np.ndarray) -> np.ndarray:
+    """3x3 binary erosion (separable min filter), zeros outside — the same
+    infinite-plane-of-zeros semantics as the distributed halo erode
+    (missing neighbor contribution == zero word)."""
+    v = g.copy()
+    v[:-1] &= g[1:]
+    v[-1] = False
+    v[1:] &= g[:-1]
+    v[0] = False
+    h = v.copy()
+    h[:, :-1] &= v[:, 1:]
+    h[:, -1] = False
+    h[:, 1:] &= v[:, :-1]
+    h[:, 0] = False
+    return h
+
+
+def trace_contours(
+    tiles: DataFrame,
+    cell_m: float = 50.0,
+    simplify_tol_cells: float = 1.5,
+    close_rounds: int = 0,
+) -> DataFrame:
+    """R4+R6+R9 (and optionally fused R2+R3): per-region boundary rings in
+    Mercator metres.
+
+    ``close_rounds > 0`` applies the balanced morphological closing INSIDE
+    the per-region UDF on the gathered dense grid — mathematically
+    identical to ``close_regions`` (both compute the infinite-plane
+    closing; parity asserted in tests) but with zero extra shuffles. The
+    distributed ``close_regions`` remains the path for region rasters too
+    large to gather (the per-group guard enforces the boundary).
 
     Output: (region_id, ring_id, seq, mx, my) — cell-centre emission
     (sparse_contour.rs:782-797), DP-simplified, deterministic ring and
     vertex order.
     """
+    pad = close_rounds  # dilation can extend this many cells beyond stamps
 
-    def trace(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def trace(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(columns=["region_id", "ring_id", "seq", "mx", "my"])
         tx = pdf["tile_x"].to_numpy(np.int64)
@@ -318,22 +360,27 @@ def trace_contours(tiles: DataFrame, cell_m: float = 50.0, simplify_tol_cells: f
         w = pdf["word"].to_numpy(np.int64).view(np.uint64)
         x0t, x1t = tx.min(), tx.max()
         y0t, y1t = ty.min(), ty.max()
-        W = int((x1t - x0t + 1) * T)
-        H = int((y1t - y0t + 1) * T)
+        W = int((x1t - x0t + 1) * T) + 2 * pad
+        H = int((y1t - y0t + 1) * T) + 2 * pad
         if W > MAX_GRID or H > MAX_GRID:
             raise ValueError(f"region {key[0]}: grid {W}x{H} exceeds guard {MAX_GRID}")
         grid = np.zeros((H, W), dtype=bool)
-        rows = (ty - y0t) * T + wi
+        rows = (ty - y0t) * T + wi + pad
         bits = ((w[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(bool)
         for r, xt, brow in zip(rows, tx, bits):
-            grid[r, (xt - x0t) * T : (xt - x0t + 1) * T] |= brow
+            c0 = (xt - x0t) * T + pad
+            grid[r, c0 : c0 + T] |= brow
+        for _ in range(close_rounds):
+            grid = _dilate3_np(grid)
+        for _ in range(close_rounds):
+            grid = _erode3_np(grid)
         rings = _trace_one(grid)
         out_rows = []
         for ring_id, ring in enumerate(rings):
             ring = _dp_simplify(ring, simplify_tol_cells)
             for seq, (ry, rx) in enumerate(ring):
-                mx = (x0t * T + rx + 0.5) * cell_m
-                my = (y0t * T + ry + 0.5) * cell_m
+                mx = (x0t * T + rx - pad + 0.5) * cell_m
+                my = (y0t * T + ry - pad + 0.5) * cell_m
                 out_rows.append((key[0], ring_id, seq, mx, my))
         return pd.DataFrame(out_rows, columns=["region_id", "ring_id", "seq", "mx", "my"])
 

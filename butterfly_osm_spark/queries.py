@@ -315,15 +315,17 @@ def _sql_text(name: str):
 
 def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stamp polygon boundaries into bit tiles, balanced-close, Moore-trace,
-    DP-simplify — the full sparse-contour pipeline per polygon."""
-    from .operators.raster import close_regions, stamp_segments, trace_contours
+    DP-simplify — the full sparse-contour pipeline per polygon. Closing is
+    fused into the per-region trace UDF (identical result to the
+    distributed close_regions — parity-tested — with zero extra shuffles;
+    regions here are bounded by the per-group grid guard)."""
+    from .operators.raster import stamp_segments, trace_contours
 
     fix = _fix(sf_dir)
     segs = _read(spark, fix, "polygon_edges").select(
         F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2"
     )
-    tiles = close_regions(stamp_segments(segs, cell_m=50.0), rounds=2)
-    rings = trace_contours(tiles, cell_m=50.0)
+    rings = trace_contours(stamp_segments(segs, cell_m=50.0), cell_m=50.0, close_rounds=2)
     return rings.select(
         "region_id", "ring_id", "seq", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
     )

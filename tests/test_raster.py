@@ -39,6 +39,25 @@ def test_raster_contour_invariants(spark, fix001):
         assert inside, f"{rid}: centroid not inside traced boundary"
 
 
+def test_fused_closing_matches_distributed(spark, fix001):
+    """Endpoint-consistency discipline (reference consistency_test.rs):
+    the same contour computed via the distributed halo close_regions and
+    via the in-UDF fused closing must match EXACTLY."""
+    segs, _ = _segments(spark, fix001, n_poly=12)
+    stamped = stamp_segments(segs, cell_m=50.0)
+    via_distributed = (
+        trace_contours(close_regions(stamped, rounds=2), cell_m=50.0)
+        .orderBy("region_id", "ring_id", "seq")
+        .collect()
+    )
+    via_fused = (
+        trace_contours(stamped, cell_m=50.0, close_rounds=2)
+        .orderBy("region_id", "ring_id", "seq")
+        .collect()
+    )
+    assert via_fused == via_distributed
+
+
 def test_raster_contour_deterministic(spark, fix001):
     segs, _ = _segments(spark, fix001, n_poly=8)
     def run():
