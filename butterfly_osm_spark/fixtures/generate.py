@@ -51,6 +51,8 @@ import pyarrow.parquet as pq
 from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
+# bump when adding tables / changing generation — stale dirs regenerate
+FIXTURE_VERSION = "2"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -212,6 +214,7 @@ def _gen_ways_nodes(rng: np.random.Generator, n_ways: int, n_extra: int):
         "starts": starts,
         "way_of": way_of,
         "way_ids": way_ids,
+        "highway": hw,
         "vert_node_id": vert_node_id,
         "node_ids": ids,
         "node_lon": node_lon,
@@ -417,6 +420,32 @@ def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
     )
 
 
+# model speeds for observation synthesis — must mirror
+# functions/model.py DEFAULT_MODEL['car'] (kept literal so fixture
+# generation stays Spark-free)
+_CAR_SPEEDS = {"motorway": 110, "primary": 70, "secondary": 50, "tertiary": 40, "residential": 30}
+
+
+def _gen_observations(rng: np.random.Generator, wn: dict):
+    """S13 calibration probe table: (way_id, observed_kmh, samples) for
+    ~60% of car-accessible ways; observed = model speed x noisy ratio."""
+    way_ids = wn["way_ids"]
+    hw = wn["highway"]
+    eligible = np.array([i for i in range(len(way_ids)) if hw[i] in _CAR_SPEEDS])
+    n_obs = max(10, int(0.6 * len(eligible)))
+    pick = rng.choice(eligible, size=min(n_obs, len(eligible)), replace=False)
+    pick.sort()
+    model_speed = np.array([_CAR_SPEEDS[hw[i]] for i in pick], dtype=np.float64)
+    ratio = np.clip(rng.normal(0.9, 0.15, len(pick)), 0.4, 1.4)
+    return pa.table(
+        {
+            "way_id": pa.array(way_ids[pick]),
+            "observed_kmh": pa.array(np.round(model_speed * ratio, 1)),
+            "samples": pa.array(rng.integers(1, 51, len(pick)).astype(np.int32)),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -488,19 +517,23 @@ def generate(sf: str, out_dir: str) -> None:
 
     _write(out_dir, "query_points", _gen_query_points(rng, c["queries"], wn["node_lon"], wn["node_lat"]))
     _write(out_dir, "raster_tiles", _gen_raster_tiles(rng))
+    _write(out_dir, "observations", _gen_observations(rng, wn))
 
 
 def ensure_fixtures(sf: str) -> str:
-    """Generate (once) and return the fixture dir for scale factor ``sf``."""
+    """Generate (once) and return the fixture dir for scale factor ``sf``.
+    A dir generated by an older FIXTURE_VERSION is regenerated."""
     d = fixture_dir(sf)
-    if os.path.exists(os.path.join(d, "_SUCCESS")):
+    marker = os.path.join(d, "_SUCCESS")
+    if os.path.exists(marker) and open(marker).read() == FIXTURE_VERSION:
         return d
     tmp = f"{d}.tmp-{os.getpid()}"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     generate(sf, tmp)
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write(FIXTURE_VERSION)
     if os.path.exists(d):  # lost a race or stale partial dir
         shutil.rmtree(d)
     os.rename(tmp, d)

@@ -218,6 +218,100 @@ def sql_auto_radius(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# A6-A12 + P12: catchment / calibration / flow / fuzzy (aggregates.py)
+# ---------------------------------------------------------------------------
+
+
+def q_sector_lasso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import sector_lasso
+
+    fix = _fix(sf_dir)
+    return sector_lasso(_read(spark, fix, "query_points"), _read(spark, fix, "image_geo"))
+
+
+def sql_sector_lasso(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import sector_lasso_oracle_sql
+
+    return sector_lasso_oracle_sql(_oracle_fix(sf))
+
+
+def q_percentile_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import percentile_threshold
+
+    fix = _fix(sf_dir)
+    return percentile_threshold(_read(spark, fix, "query_points"), _read(spark, fix, "image_geo"))
+
+
+def sql_percentile_threshold(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import percentile_threshold_oracle_sql
+
+    return percentile_threshold_oracle_sql(_oracle_fix(sf))
+
+
+def q_knn_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import knn_iqr_filter
+
+    fix = _fix(sf_dir)
+    return knn_iqr_filter(_read(spark, fix, "query_points"), _read(spark, fix, "image_geo"))
+
+
+def sql_knn_iqr(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import knn_iqr_oracle_sql
+
+    return knn_iqr_oracle_sql(_oracle_fix(sf))
+
+
+def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import convex_hull
+
+    fix = _fix(sf_dir)
+    return convex_hull(_read(spark, fix, "query_points"), _read(spark, fix, "image_geo"))
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import weighted_median_ratio
+
+    fix = _fix(sf_dir)
+    return weighted_median_ratio(
+        _read(spark, fix, "observations"), compile_way_attrs(_read(spark, fix, "osm_ways"))
+    )
+
+
+def sql_weighted_median(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import weighted_median_oracle_sql
+
+    fix = _oracle_fix(sf)
+    wa = way_attrs_oracle_sql(f"{fix}/way_tags.parquet", f"{fix}/osm_ways.parquet")
+    return weighted_median_oracle_sql(fix, wa)
+
+
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import flow_accumulation
+
+    fix = _fix(sf_dir)
+    return flow_accumulation(_read(spark, fix, "way_nodes"))
+
+
+def sql_flow_accum(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import flow_accumulation_oracle_sql
+
+    return flow_accumulation_oracle_sql(_oracle_fix(sf))
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.aggregates import fuzzy_name_match
+
+    fix = _fix(sf_dir)
+    return fuzzy_name_match(_read(spark, fix, "way_tags"))
+
+
+def sql_fuzzy_match(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import fuzzy_name_oracle_sql
+
+    return fuzzy_name_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline ops over the driver's documents/embeddings tables
 # ---------------------------------------------------------------------------
 
@@ -365,6 +459,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_cover": q_way_cover,
     "radius_join": q_radius_join,
     "auto_radius": q_auto_radius,
+    "sector_lasso": q_sector_lasso,
+    "percentile_threshold": q_percentile_threshold,
+    "knn_iqr": q_knn_iqr,
+    "convex_hull": q_convex_hull,
+    "weighted_median": q_weighted_median,
+    "flow_accum": q_flow_accum,
+    "fuzzy_match": q_fuzzy_match,
     "token_stats": q_token_stats,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -390,6 +491,12 @@ ORACLES: dict[str, Callable[..., str]] = {
     "way_cover": sql_way_cover,
     "radius_join": sql_radius_join,
     "auto_radius": sql_auto_radius,
+    "sector_lasso": sql_sector_lasso,
+    "percentile_threshold": sql_percentile_threshold,
+    "knn_iqr": sql_knn_iqr,
+    "weighted_median": sql_weighted_median,
+    "flow_accum": sql_flow_accum,
+    "fuzzy_match": sql_fuzzy_match,
     "token_stats": lambda sf=ORACLE_SF: _sql_text("token_stats"),
     "quality_score": lambda sf=ORACLE_SF: _sql_text("quality_score"),
     "lang_id": lambda sf=ORACLE_SF: _sql_text("lang_id"),

@@ -105,6 +105,42 @@ def test_knn_invariants(spark, fix001):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_convex_hull_invariants(spark, fix001):
+    """A9: every client lies inside (or on) its store's hull; hull is convex
+    and CCW — checked against the candidate set from the same radius join."""
+    from butterfly_osm_spark.operators.aggregates import CATCH_RADIUS_M, convex_hull, _clients
+
+    stores = spark.read.parquet(f"{fix001}/query_points.parquet")
+    pts = spark.read.parquet(f"{fix001}/image_geo.parquet")
+    hull = convex_hull(stores, pts).toPandas()
+    cand = (
+        _clients(stores, pts, CATCH_RADIUS_M)
+        .join(
+            pts.selectExpr("image_id as point_id", "lon_e7 as plon", "lat_e7 as plat"),
+            "point_id",
+        )
+        .toPandas()
+    )
+    checked = 0
+    for qid, h in hull.groupby("query_id"):
+        h = h.sort_values("seq")
+        hx = h.lon_e7.to_numpy(np.int64)
+        hy = h.lat_e7.to_numpy(np.int64)
+        if len(hx) < 3:
+            continue
+        ex, ey = np.roll(hx, -1) - hx, np.roll(hy, -1) - hy
+        # convexity + CCW: every turn is a left turn
+        cross = ex * np.roll(ey, -1) - ey * np.roll(ex, -1)
+        assert (cross >= 0).all(), f"{qid}: hull not convex/CCW"
+        c = cand[cand.query_id == qid]
+        px = c.plon.to_numpy(np.int64)[:, None]
+        py = c.plat.to_numpy(np.int64)[:, None]
+        side = ex[None, :] * (py - hy[None, :]) - ey[None, :] * (px - hx[None, :])
+        assert (side >= 0).all(), f"{qid}: client outside hull"
+        checked += 1
+    assert checked > 10
+
+
 def test_pip_subset_of_bbox(spark, fix001):
     import duckdb
 
