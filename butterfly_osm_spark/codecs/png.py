@@ -90,7 +90,10 @@ def encode_qnt(img: np.ndarray, q: int = 4) -> bytes:
     if img.dtype != np.uint8 or img.ndim != 2:
         raise ValueError("expected uint8 (h, w) grayscale")
     h, w = img.shape
-    quant = ((img.astype(np.int32) + q // 2) // q).clip(0, 255 // q).astype(np.uint8)
+    # allow the ceiling bucket so saturated pixels stay within q/2 error
+    # (decode clips back to 255); without it, 255 -> 63*4 = 252 and bright
+    # images fall under the 40 dB PSNR gate
+    quant = ((img.astype(np.int32) + q // 2) // q).clip(0, (255 + q - 1) // q).astype(np.uint8)
     return b"QNT1" + struct.pack(">HHB", w, h, q) + zlib.compress(quant.tobytes(), 6)
 
 

@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "4"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -237,12 +237,31 @@ def _phash64_batch(img: np.ndarray) -> int:
 
 
 def _gen_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    """Seeded gradient + noise pattern (FIXTURES.md §1)."""
-    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
-    a, b = rng.uniform(0.5, 2.0, 2)
-    grad = (a * xx + b * yy) / (a * w + b * h) * 255.0
+    """Seeded structured pattern + noise (FIXTURES.md §1). Three pattern
+    families (sinusoid / gaussian blobs / gradient) so perceptual hashes
+    are diverse — a pure gradient corpus collapses onto ~100 distinct
+    ahash values and makes near-dup joins pathological."""
+    xx, yy = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    kind = rng.integers(0, 3)
+    if kind == 0:  # oriented sinusoid
+        fx, fy = rng.uniform(0.5, 4.0, 2)
+        phase = rng.uniform(0, 2 * np.pi)
+        base = 128.0 + 100.0 * np.sin(2 * np.pi * (fx * xx / w + fy * yy / h) + phase)
+    elif kind == 1:  # gaussian blobs
+        base = np.full((h, w), 60.0)
+        for _ in range(int(rng.integers(2, 6))):
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            s = rng.uniform(0.1, 0.4) * min(w, h)
+            amp = rng.uniform(60, 160)
+            base += amp * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    else:  # gradient
+        a, b = rng.uniform(-2.0, 2.0, 2)
+        base = 128.0 + (a * (xx - w / 2) / w + b * (yy - h / 2) / h) * 200.0
     noise = rng.normal(0, 12.0, (h, w))
-    return np.clip(grad + noise, 0, 255).astype(np.uint8)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+NEAR_DUP_FRAC = 0.05  # seeded near-duplicates (phash hamming ~0-3)
 
 
 def _gen_images(rng: np.random.Generator, n_geo: int):
@@ -257,12 +276,26 @@ def _gen_images(rng: np.random.Generator, n_geo: int):
     ws = sizes[rng.integers(0, 3, n_bytes)]
     hs = sizes[rng.integers(0, 3, n_bytes)]
     fmts = np.where(rng.random(n_bytes) < 0.7, "png", "qnt")
+    dup_of = np.where(rng.random(n_bytes) < NEAR_DUP_FRAC, rng.integers(0, n_bytes), -1)
+    needed_donors = {int(d) for d in dup_of if d >= 0}
     blobs: list[bytes] = []
     phashes: list[int] = []
     captions: list[str] = []
+    donors: dict[int, np.ndarray] = {}
     wl = np.array(WORDS)
     for i in range(n_bytes):
-        img = _gen_image(rng, int(ws[i]), int(hs[i]))
+        d = int(dup_of[i])
+        if 0 <= d < i and d in donors:
+            # seeded near-dup: donor pixels + faint noise (phash-adjacent)
+            src = donors[d]
+            ws[i], hs[i] = src.shape[1], src.shape[0]
+            img = np.clip(src.astype(np.float64) + rng.normal(0, 2.0, src.shape), 0, 255).astype(
+                np.uint8
+            )
+        else:
+            img = _gen_image(rng, int(ws[i]), int(hs[i]))
+        if i in needed_donors:
+            donors[i] = img
         if fmts[i] == "png":
             blobs.append(encode_png(img))
             phashes.append(phash64(img))
@@ -452,9 +485,14 @@ def _gen_observations(rng: np.random.Generator, wn: dict):
 
 
 def generate(sf: str, out_dir: str) -> None:
-    rng = np.random.default_rng(SEED)
+    # independent child streams per table: editing one generator never
+    # reshuffles the other tables' data
+    streams = {k: np.random.default_rng([SEED, i]) for i, k in enumerate(
+        ["ways", "images", "polygons", "queries", "raster", "observations"]
+    )}
     c = _counts(sf)
 
+    rng = streams["ways"]
     wn = _gen_ways_nodes(rng, c["ways"], c["extra_nodes"])
     _write(
         out_dir,
@@ -507,17 +545,17 @@ def generate(sf: str, out_dir: str) -> None:
         ),
     )
 
-    images, geo = _gen_images(rng, c["images"])
+    images, geo = _gen_images(streams["images"], c["images"])
     _write(out_dir, "images", images)
     _write(out_dir, "image_geo", geo)
 
-    polygons, edges = _gen_polygons(rng, c["polygons"])
+    polygons, edges = _gen_polygons(streams["polygons"], c["polygons"])
     _write(out_dir, "polygons", polygons)
     _write(out_dir, "polygon_edges", edges)
 
-    _write(out_dir, "query_points", _gen_query_points(rng, c["queries"], wn["node_lon"], wn["node_lat"]))
-    _write(out_dir, "raster_tiles", _gen_raster_tiles(rng))
-    _write(out_dir, "observations", _gen_observations(rng, wn))
+    _write(out_dir, "query_points", _gen_query_points(streams["queries"], c["queries"], wn["node_lon"], wn["node_lat"]))
+    _write(out_dir, "raster_tiles", _gen_raster_tiles(streams["raster"]))
+    _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
 
 
 def ensure_fixtures(sf: str) -> str:

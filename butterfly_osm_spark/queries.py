@@ -403,6 +403,51 @@ def _sql_text(name: str):
 
 
 # ---------------------------------------------------------------------------
+# Multimodal image-payload ops (input_hint axis — operators/images.py)
+# ---------------------------------------------------------------------------
+
+
+def q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import decode_stats
+
+    fix = _fix(sf_dir)
+    return decode_stats(_read(spark, fix, "images"))
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import resize_images
+
+    fix = _fix(sf_dir)
+    return resize_images(_read(spark, fix, "images"))
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import phash_dedup
+
+    fix = _fix(sf_dir)
+    return phash_dedup(_read(spark, fix, "images"))
+
+
+def sql_phash_dedup(sf: str = ORACLE_SF) -> str:
+    from .operators.images import phash_dedup_oracle_sql
+
+    return phash_dedup_oracle_sql(_oracle_fix(sf))
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.images import phash_neardup_pairs
+
+    fix = _fix(sf_dir)
+    return phash_neardup_pairs(_read(spark, fix, "images"))
+
+
+def sql_phash_neardup(sf: str = ORACLE_SF) -> str:
+    from .operators.images import phash_neardup_oracle_sql
+
+    return phash_neardup_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # Raster pipeline (R1-R9) + DEM sampling (S14, R10-R12)
 # ---------------------------------------------------------------------------
 
@@ -476,6 +521,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "image_decode_stats": q_image_decode_stats,
+    "image_resize": q_image_resize,
+    "phash_dedup": q_phash_dedup,
+    "phash_neardup": q_phash_neardup,
     "raster_contour": q_raster_contour,
     "dem_sample": q_dem_sample,
     "dem_coverage": q_dem_coverage,
@@ -504,5 +553,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
+    "phash_dedup": sql_phash_dedup,
+    "phash_neardup": sql_phash_neardup,
     "dem_coverage": sql_dem_coverage,
 }
