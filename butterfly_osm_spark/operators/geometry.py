@@ -1,0 +1,299 @@
+"""Geometry codecs + sinks (S10 WKB, S11 polyline6/GeoJSON, P8-P10).
+
+- ``wkb_sink`` (S10): polygon ring -> WKB (LE, type 3, closed ring —
+  reference route/src/range/wkb_stream.rs:15-25; ``ensure_ccw`` :49 as
+  an opt-in flag). Emitted as hex so the DuckDB oracle (the fixture's
+  stored wkb column) compares as plain strings.
+- ``polyline6_codec`` (P8): Google polyline at 1e-6 precision
+  (reference route/src/server/geometry.rs:84-130 encode, :421-476
+  decode) — varint zigzag over deltas; roundtrip-tested.
+- ``geojson_sink`` (S11): polygon -> GeoJSON geometry string built
+  ENTIRELY from higher-order Column functions (transform + array_join +
+  concat) — whole-stage codegen, no UDF, mirrors the reference's
+  content-negotiated encoder.
+- ``canonical_hash`` (P10): 1e-6 quantise, drop duplicate closing
+  vertex, Booth's lexicographically-minimal rotation, md5 — the
+  polygon cache key of route/src/server/avoid.rs:157-279. Rotated
+  duplicates hash identically (unit-tested vs a naive O(n^2) oracle,
+  the reference's own test strategy, avoid.rs:281-411).
+- ``interpolate_midpoint`` (P9): position at fraction f along a way
+  polyline by cumulative haversine length (route/src/range/
+  frontier.rs:319-403) — pure window algebra, DuckDB-oracled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType, StringType
+
+from ..geo import haversine_m_col, haversine_m_sql
+
+E7 = 10_000_000
+
+# ---------------------------------------------------------------------------
+# numpy/python kernels
+# ---------------------------------------------------------------------------
+
+
+def wkb_polygon_bytes(lon_e7: np.ndarray, lat_e7: np.ndarray, ccw: bool = False) -> bytes:
+    """WKB LE polygon with one closed ring; optionally CCW-enforce the
+    outer ring by shoelace sign (wkb_stream.rs ensure_ccw)."""
+    if ccw:
+        x = lon_e7.astype(np.float64)
+        y = lat_e7.astype(np.float64)
+        area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+        if area2 < 0:
+            lon_e7 = lon_e7[::-1]
+            lat_e7 = lat_e7[::-1]
+    n = len(lon_e7) + 1
+    out = [struct.pack("<BII", 1, 3, 1), struct.pack("<I", n)]
+    for i in list(range(len(lon_e7))) + [0]:
+        out.append(struct.pack("<dd", lon_e7[i] / E7, lat_e7[i] / E7))
+    return b"".join(out)
+
+
+def polyline6_encode(lat_e7: np.ndarray, lon_e7: np.ndarray) -> str:
+    """Google polyline, 1e-6 precision (coords arrive at 1e-7 fixed point;
+    quantised with round-half-away like the reference's i64 math)."""
+    out = []
+    prev_lat = prev_lon = 0
+    for la, lo in zip(lat_e7, lon_e7):
+        qla = (int(la) + (5 if la >= 0 else -5)) // 10
+        qlo = (int(lo) + (5 if lo >= 0 else -5)) // 10
+        for d in (qla - prev_lat, qlo - prev_lon):
+            v = (d << 1) ^ (d >> 63) if d < 0 else (d << 1)
+            while v >= 0x20:
+                out.append(chr((0x20 | (v & 0x1F)) + 63))
+                v >>= 5
+            out.append(chr(v + 63))
+        prev_lat, prev_lon = qla, qlo
+    return "".join(out)
+
+
+def polyline6_decode(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of polyline6_encode -> (lat_e6, lon_e6) int arrays."""
+    coords = []
+    i = 0
+    acc = []
+    while i < len(s):
+        shift = result = 0
+        while True:
+            b = ord(s[i]) - 63
+            i += 1
+            result |= (b & 0x1F) << shift
+            shift += 5
+            if b < 0x20:
+                break
+        d = ~(result >> 1) if result & 1 else result >> 1
+        acc.append(d)
+        if len(acc) == 2:
+            coords.append(tuple(acc))
+            acc = []
+    lat = np.cumsum([c[0] for c in coords]).astype(np.int64)
+    lon = np.cumsum([c[1] for c in coords]).astype(np.int64)
+    return lat, lon
+
+
+def booth_min_rotation(seq: list[tuple]) -> int:
+    """Booth's algorithm: index of the lexicographically minimal rotation,
+    O(n) (reference avoid.rs:202-279 ports the same algorithm)."""
+    s = seq + seq
+    n = len(seq)
+    f = [-1] * len(s)
+    k = 0
+    for j in range(1, len(s)):
+        sj = s[j]
+        i = f[j - k - 1]
+        while i != -1 and sj != s[k + i + 1]:
+            if sj < s[k + i + 1]:
+                k = j - i - 1
+            i = f[i]
+        if sj != s[k + i + 1]:
+            if sj < s[k]:
+                k = j
+            f[j - k] = -1
+        else:
+            f[j - k] = i + 1
+    return k % n
+
+
+def canonical_polygon_key(lon_e7: np.ndarray, lat_e7: np.ndarray) -> str:
+    """P10: quantise to 1e-6, drop duplicate closing vertex, rotate to the
+    Booth-minimal start, md5-hex. Rotations of the same ring collide."""
+    qx = ((lon_e7.astype(np.int64) + np.where(lon_e7 >= 0, 5, -5)) // 10).tolist()
+    qy = ((lat_e7.astype(np.int64) + np.where(lat_e7 >= 0, 5, -5)) // 10).tolist()
+    pts = list(zip(qx, qy))
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    k = booth_min_rotation(pts)
+    pts = pts[k:] + pts[:k]
+    return hashlib.md5(repr(pts).encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(BinaryType())
+def _wkb_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            wkb_polygon_bytes(np.asarray(lo, dtype=np.int64), np.asarray(la, dtype=np.int64))
+            for lo, la in zip(lons, lats)
+        ]
+    )
+
+
+def wkb_sink(polygons: DataFrame) -> DataFrame:
+    """(polygon_id, wkb_hex): ring -> WKB, hex-encoded for oracle compare
+    against the independently generated fixture wkb column."""
+    ring = polygons.select(
+        "polygon_id",
+        F.expr("transform(ring, v -> v.lon_e7)").alias("lons"),
+        F.expr("transform(ring, v -> v.lat_e7)").alias("lats"),
+    )
+    return ring.select("polygon_id", F.hex(_wkb_udf("lons", "lats")).alias("wkb_hex"))
+
+
+def wkb_sink_oracle_sql(fix: str) -> str:
+    return f"SELECT polygon_id, hex(wkb) AS wkb_hex FROM read_parquet('{fix}/polygons.parquet')"
+
+
+@F.pandas_udf(StringType())
+def _polyline6_udf(lats: pd.Series, lons: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            polyline6_encode(np.asarray(la, dtype=np.int64), np.asarray(lo, dtype=np.int64))
+            for la, lo in zip(lats, lons)
+        ]
+    )
+
+
+def way_polyline6(way_nodes: DataFrame, nodes: DataFrame) -> DataFrame:
+    """(way_id, polyline6): each way's vertex chain as a polyline6 string.
+    collect_list under an ordering window keeps vertex order."""
+    wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
+        "way_id", "seq", "lat_e7", "lon_e7"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    arrs = (
+        wv.withColumn("lats", F.collect_list("lat_e7").over(w))
+        .withColumn("lons", F.collect_list("lon_e7").over(w))
+        .groupBy("way_id")
+        .agg(F.first("lats").alias("lats"), F.first("lons").alias("lons"))
+    )
+    return arrs.select("way_id", _polyline6_udf("lats", "lons").alias("polyline6"))
+
+
+@F.pandas_udf(StringType())
+def _canon_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            canonical_polygon_key(np.asarray(lo, dtype=np.int64), np.asarray(la, dtype=np.int64))
+            for lo, la in zip(lons, lats)
+        ]
+    )
+
+
+def canonical_hash(polygons: DataFrame) -> DataFrame:
+    """(polygon_id, canon_key): the avoid-polygon cache key (P10/C1)."""
+    ring = polygons.select(
+        "polygon_id",
+        F.expr("transform(ring, v -> v.lon_e7)").alias("lons"),
+        F.expr("transform(ring, v -> v.lat_e7)").alias("lats"),
+    )
+    return ring.select("polygon_id", _canon_udf("lons", "lats").alias("canon_key"))
+
+
+def geojson_sink(polygons: DataFrame) -> DataFrame:
+    """(polygon_id, geojson): Polygon geometry JSON built from pure Column
+    expressions — closed ring, 7-dp coordinates, no UDF."""
+    coord = (
+        "transform(ring, v -> concat('[', format_number(v.lon_e7 / 10000000.0, '0.#######'), "
+        "',', format_number(v.lat_e7 / 10000000.0, '0.#######'), ']'))"
+    )
+    closed = f"concat(array_join({coord}, ','), ',', element_at({coord}, 1))"
+    return polygons.select(
+        "polygon_id",
+        F.expr(
+            f"concat('{{\"type\":\"Polygon\",\"coordinates\":[[', {closed}, ']]}}')"
+        ).alias("geojson"),
+    )
+
+
+def interpolate_midpoint(way_nodes: DataFrame, nodes: DataFrame, frac: float = 0.5) -> DataFrame:
+    """(way_id, mid_lon, mid_lat): point at ``frac`` of each way's
+    cumulative haversine length, linear within the containing segment
+    (P9). Degenerate zero-length ways return their first vertex."""
+    wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
+        "way_id", "seq", "lat_e7", "lon_e7"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    pairs = wv.select(
+        "way_id",
+        "seq",
+        "lon_e7",
+        "lat_e7",
+        F.lead("lon_e7").over(w).alias("nlon"),
+        F.lead("lat_e7").over(w).alias("nlat"),
+    ).filter(F.col("nlon").isNotNull())
+    seg = pairs.withColumn("seg_m", haversine_m_col("lon_e7", "lat_e7", "nlon", "nlat"))
+    seg = seg.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("seg_m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)),
+    ).withColumn("total", F.sum("seg_m").over(Window.partitionBy("way_id")))
+    target = F.col("total") * F.lit(frac)
+    hit = seg.filter(
+        ((F.col("cum_before") <= target) & (target < F.col("cum_before") + F.col("seg_m")))
+        | ((F.col("total") == 0) & (F.col("seq") == 0))
+    )
+    # first matching segment per way (floating ties at segment joints)
+    ww = Window.partitionBy("way_id").orderBy("seq")
+    hit = hit.withColumn("rn", F.row_number().over(ww)).filter(F.col("rn") == 1)
+    f = F.when(F.col("seg_m") > 0, (target - F.col("cum_before")) / F.col("seg_m")).otherwise(0.0)
+    return hit.select(
+        "way_id",
+        F.round(F.col("lon_e7") + (F.col("nlon") - F.col("lon_e7")) * f, 2).alias("mid_lon"),
+        F.round(F.col("lat_e7") + (F.col("nlat") - F.col("lat_e7")) * f, 2).alias("mid_lat"),
+    )
+
+
+def interpolate_midpoint_oracle_sql(fix: str, frac: float = 0.5) -> str:
+    hav = haversine_m_sql("lon_e7", "lat_e7", "nlon", "nlat")
+    return f"""
+WITH wv AS (
+  SELECT w.way_id, w.seq, n.lat_e7, n.lon_e7
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), pairs AS (
+  SELECT way_id, seq, lon_e7, lat_e7,
+         lead(lon_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlon,
+         lead(lat_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlat
+  FROM wv
+), seg AS (
+  SELECT *, {hav} AS seg_m FROM pairs WHERE nlon IS NOT NULL
+), cum AS (
+  SELECT *,
+         coalesce(sum(seg_m) OVER (PARTITION BY way_id ORDER BY seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before,
+         sum(seg_m) OVER (PARTITION BY way_id) AS total
+  FROM seg
+), hit AS (
+  SELECT *, row_number() OVER (PARTITION BY way_id ORDER BY seq) AS rn
+  FROM cum
+  WHERE (cum_before <= total * {frac} AND total * {frac} < cum_before + seg_m)
+     OR (total = 0 AND seq = 0))
+SELECT way_id,
+       round(lon_e7 + (nlon - lon_e7) * (CASE WHEN seg_m > 0 THEN (total * {frac} - cum_before) / seg_m ELSE 0.0 END), 2) AS mid_lon,
+       round(lat_e7 + (nlat - lat_e7) * (CASE WHEN seg_m > 0 THEN (total * {frac} - cum_before) / seg_m ELSE 0.0 END), 2) AS mid_lat
+FROM hit WHERE rn = 1
+"""

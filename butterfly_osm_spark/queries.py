@@ -403,6 +403,55 @@ def _sql_text(name: str):
 
 
 # ---------------------------------------------------------------------------
+# Geometry codecs / sinks (S10, S11, P8, P9, P10 — operators/geometry.py)
+# ---------------------------------------------------------------------------
+
+
+def q_wkb_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry import wkb_sink
+
+    return wkb_sink(_read(spark, _fix(sf_dir), "polygons"))
+
+
+def sql_wkb_sink(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import wkb_sink_oracle_sql
+
+    return wkb_sink_oracle_sql(_oracle_fix(sf))
+
+
+def q_geojson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry import geojson_sink
+
+    return geojson_sink(_read(spark, _fix(sf_dir), "polygons"))
+
+
+def q_way_polyline6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry import way_polyline6
+
+    fix = _fix(sf_dir)
+    return way_polyline6(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
+
+
+def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry import canonical_hash
+
+    return canonical_hash(_read(spark, _fix(sf_dir), "polygons"))
+
+
+def q_interp_midpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.geometry import interpolate_midpoint
+
+    fix = _fix(sf_dir)
+    return interpolate_midpoint(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
+
+
+def sql_interp_midpoint(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import interpolate_midpoint_oracle_sql
+
+    return interpolate_midpoint_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal image-payload ops (input_hint axis — operators/images.py)
 # ---------------------------------------------------------------------------
 
@@ -521,6 +570,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "wkb_sink": q_wkb_sink,
+    "geojson_sink": q_geojson_sink,
+    "way_polyline6": q_way_polyline6,
+    "canonical_hash": q_canonical_hash,
+    "interp_midpoint": q_interp_midpoint,
     "image_decode_stats": q_image_decode_stats,
     "image_resize": q_image_resize,
     "phash_dedup": q_phash_dedup,
@@ -553,6 +607,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
+    "wkb_sink": sql_wkb_sink,
+    "interp_midpoint": sql_interp_midpoint,
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
     "dem_coverage": sql_dem_coverage,
