@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "4"
+FIXTURE_VERSION = "6"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -141,18 +141,34 @@ def _gen_ways_nodes(rng: np.random.Generator, n_ways: int, n_extra: int):
     lon_e7 = np.round(slon[way_of] * E7 + cx - np.repeat(cx[starts], L)).astype(np.int64)
     lat_e7 = np.round(slat[way_of] * E7 + cy - np.repeat(cy[starts], L)).astype(np.int64)
 
-    # shared intersection nodes: ~8% of ways reuse an earlier way's vertex
-    # at one interior position (drives the usage>=2 decision-node join,
-    # reference route/src/nbg/mod.rs:353-358)
+    # shared intersection nodes: ~8% of ways reuse a NEARBY vertex of an
+    # earlier way at one interior position (drives the usage>=2
+    # decision-node join, reference route/src/nbg/mod.rs:353-358).
+    # "Nearby" matters: a random far donor creates multi-km teleport
+    # segments that blow up trace sampling and cell-cover fan-out.
     node_idx = np.arange(V, dtype=np.int64)
+    gx = lon_e7 // 35_000  # ~250 m lon buckets
+    gy = lat_e7 // 22_500  # ~250 m lat buckets
+    grid: dict[tuple[int, int], list[int]] = {}
+    for v in range(V):
+        grid.setdefault((int(gx[v]), int(gy[v])), []).append(v)
     candidates = [w for w in range(1, n_ways) if L[w] >= 3]
-    n_share = max(1, int(0.08 * n_ways))
+    n_share = max(1, int(0.20 * n_ways))
     chosen = rng.choice(len(candidates), size=min(n_share, len(candidates)), replace=False)
     for ci in chosen:
         w = candidates[ci]
-        pos = starts[w] + int(rng.integers(1, L[w] - 1))
-        donor = int(rng.integers(0, starts[w]))
-        node_idx[pos] = donor
+        positions = starts[w] + rng.permutation(np.arange(1, L[w] - 1))
+        for pos in positions:
+            near = [
+                v
+                for ddx in (-1, 0, 1)
+                for ddy in (-1, 0, 1)
+                for v in grid.get((int(gx[pos]) + ddx, int(gy[pos]) + ddy), [])
+                if v < starts[w]
+            ]
+            if near:
+                node_idx[pos] = near[int(rng.integers(0, len(near)))]
+                break
     # resolve donor chains (donors always point backward)
     while True:
         nxt = node_idx[node_idx]
@@ -459,6 +475,50 @@ def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
 _CAR_SPEEDS = {"motorway": 110, "primary": 70, "secondary": 50, "tertiary": 40, "residential": 30}
 
 
+def _gen_traces(rng: np.random.Generator, wn: dict, n_traces: int):
+    """GPS traces for map-matching (J13): walk along a way's polyline,
+    sample every ~25 m, add ~10 m gaussian noise. ``true_way_id`` records
+    the generating way (ground truth for the HMM accuracy gate — the
+    matcher never reads it)."""
+    L, starts = wn["L"], wn["starts"]
+    node_lon, node_lat = wn["node_lon"], wn["node_lat"]
+    vert = wn["vert_node_id"]
+    id_to_pos = {int(i): k for k, i in enumerate(wn["node_ids"])}
+    eligible = np.nonzero(L >= 4)[0]
+    rows = []
+    for t in range(n_traces):
+        w = int(eligible[rng.integers(0, len(eligible))])
+        idx = [id_to_pos[int(vert[starts[w] + j])] for j in range(L[w])]
+        vx = node_lon[idx].astype(np.float64)
+        vy = node_lat[idx].astype(np.float64)
+        seg_dx = (vx[1:] - vx[:-1]) * M_PER_DEG_LON / E7
+        seg_dy = (vy[1:] - vy[:-1]) * M_PER_DEG_LAT / E7
+        seg_len = np.hypot(seg_dx, seg_dy)
+        cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+        total = cum[-1]
+        if total < 100:
+            continue
+        arc = np.arange(0.0, total, 25.0)
+        si = np.clip(np.searchsorted(cum, arc, side="right") - 1, 0, len(seg_len) - 1)
+        frac = (arc - cum[si]) / np.maximum(seg_len[si], 1e-9)
+        px = vx[si] + (vx[si + 1] - vx[si]) * frac
+        py = vy[si] + (vy[si + 1] - vy[si]) * frac
+        px += rng.normal(0, 10.0, len(arc)) / M_PER_DEG_LON * E7
+        py += rng.normal(0, 10.0, len(arc)) / M_PER_DEG_LAT * E7
+        for s in range(len(arc)):
+            rows.append((f"trace{t:05d}", s, int(round(px[s])), int(round(py[s])), int(wn["way_ids"][w])))
+    c = list(zip(*rows))
+    return pa.table(
+        {
+            "trace_id": pa.array(list(c[0])),
+            "seq": pa.array(np.array(c[1], dtype=np.int32)),
+            "lon_e7": pa.array(np.array(c[2], dtype=np.int32)),
+            "lat_e7": pa.array(np.array(c[3], dtype=np.int32)),
+            "true_way_id": pa.array(np.array(c[4], dtype=np.int64)),
+        }
+    )
+
+
 def _gen_observations(rng: np.random.Generator, wn: dict):
     """S13 calibration probe table: (way_id, observed_kmh, samples) for
     ~60% of car-accessible ways; observed = model speed x noisy ratio."""
@@ -556,6 +616,8 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "query_points", _gen_query_points(streams["queries"], c["queries"], wn["node_lon"], wn["node_lat"]))
     _write(out_dir, "raster_tiles", _gen_raster_tiles(streams["raster"]))
     _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
+    n_traces = max(20, int(200 * float(sf) / 0.01))
+    _write(out_dir, "traces", _gen_traces(np.random.default_rng([SEED, 7]), wn, n_traces))
 
 
 def ensure_fixtures(sf: str) -> str:

@@ -84,6 +84,51 @@ def dem_sample(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
     )
 
 
+def elevation_frontier(
+    way_nodes: DataFrame, nodes: DataFrame, raster_tiles: DataFrame, threshold_m: float = 250.0
+) -> DataFrame:
+    """R8 frontier extraction over the DEM field: way segments whose
+    endpoint elevations straddle ``threshold_m``; cut fraction
+    (T - e_u) / (e_v - e_u) and the interpolated cut point (P9 math).
+
+    Reference: route/src/range/frontier.rs:95-151 computes exactly this
+    over a distance field ((T-d)/w cut fractions, interpolated cut
+    points); the scalar field here is bilinear DEM elevation.
+    """
+    from pyspark.sql import Window
+
+    node_elev = dem_sample(
+        nodes.select(F.col("id").cast("string").alias("query_id"), "lon_e7", "lat_e7"),
+        raster_tiles,
+    ).select(F.col("query_id").cast("long").alias("id"), "elev_m")
+    wv = (
+        way_nodes.join(nodes, way_nodes.node_id == nodes.id)
+        .join(node_elev, nodes.id == node_elev.id)
+        .select("way_id", "seq", "lon_e7", "lat_e7", "elev_m")
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    pairs = wv.select(
+        "way_id",
+        F.col("seq").cast("int").alias("seq"),
+        "lon_e7",
+        "lat_e7",
+        "elev_m",
+        F.lead("lon_e7").over(w).alias("nlon"),
+        F.lead("lat_e7").over(w).alias("nlat"),
+        F.lead("elev_m").over(w).alias("nelev"),
+    ).filter(F.col("nlon").isNotNull() & F.col("elev_m").isNotNull() & F.col("nelev").isNotNull())
+    T = F.lit(threshold_m)
+    crossing = (F.col("elev_m") < T) != (F.col("nelev") < T)
+    frac = (T - F.col("elev_m")) / (F.col("nelev") - F.col("elev_m"))
+    return pairs.filter(crossing).select(
+        "way_id",
+        "seq",
+        F.round(frac, 6).alias("cut_frac"),
+        F.round(F.col("lon_e7") + (F.col("nlon") - F.col("lon_e7")) * frac, 2).alias("cut_lon"),
+        F.round(F.col("lat_e7") + (F.col("nlat") - F.col("lat_e7")) * frac, 2).alias("cut_lat"),
+    )
+
+
 def dem_coverage(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
     """R12: which points fall on a loaded DEM tile (semi-join on tile key)."""
     pts = points.select(

@@ -519,6 +519,34 @@ def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.mapmatch import viterbi_match
+
+    fix = _fix(sf_dir)
+    return viterbi_match(
+        _read(spark, fix, "traces").drop("true_way_id"),
+        _read(spark, fix, "way_nodes"),
+        _read(spark, fix, "osm_nodes"),
+    )
+
+
+def q_tsp_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.trips import tsp_trips
+
+    return tsp_trips(_read(spark, _fix(sf_dir), "query_points"))
+
+
+def q_elev_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elevation import elevation_frontier
+
+    fix = _fix(sf_dir)
+    return elevation_frontier(
+        _read(spark, fix, "way_nodes"),
+        _read(spark, fix, "osm_nodes"),
+        _read(spark, fix, "raster_tiles"),
+    )
+
+
 def q_dem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.elevation import dem_sample
 
@@ -582,6 +610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "raster_contour": q_raster_contour,
     "dem_sample": q_dem_sample,
     "dem_coverage": q_dem_coverage,
+    "map_match": q_map_match,
+    "tsp_trips": q_tsp_trips,
+    "elev_frontier": q_elev_frontier,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
