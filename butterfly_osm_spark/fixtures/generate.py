@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "6"
+FIXTURE_VERSION = "7"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -101,7 +101,10 @@ def _counts(sf: str) -> dict[str, int]:
 
 
 def _write(d: str, name: str, table: pa.Table) -> None:
-    pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+    # small row groups keep single-file fixtures SPLITTABLE: Spark assigns
+    # scan partitions per row group, so pre-shuffle stages parallelize
+    # (one giant row group = one scan task no matter how many cores)
+    pq.write_table(table, os.path.join(d, f"{name}.parquet"), row_group_size=16384)
 
 
 def _clustered_points(rng: np.random.Generator, n: int, frac_clustered: float = 0.6, spread: float = 0.1):

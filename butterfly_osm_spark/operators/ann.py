@@ -37,22 +37,98 @@ def _self_norm(c: str):
     )
 
 
-def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5) -> DataFrame:
+N_BLOCKS = 16
+
+
+def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
+    """(block_id, ids ARRAY<LONG>, flat ARRAY<DOUBLE>): embeddings packed
+    into block matrices (row-major flat), ids sorted within the block."""
+    import pandas as pd  # noqa: F401  (applyInPandas payload)
+
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("block_id", IntegerType()),
+            StructField("ids", ArrayType(LongType())),
+            StructField("flat", ArrayType(DoubleType())),
+        ]
+    )
+
+    def pack(key: tuple, pdf):
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {"block_id": [key[0]], "ids": [pdf["vec_id"].tolist()], "flat": [m.ravel().tolist()]}
+        )
+
+    tagged = embeddings.select(
+        "vec_id", "embedding", (F.abs(F.xxhash64("vec_id")) % n_blocks).cast("int").alias("block_id")
+    )
+    return tagged.groupBy("block_id").applyInPandas(pack, schema=schema)
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_BLOCKS) -> DataFrame:
     """(vec_id, rank, neighbor_id, cos) — exact top-k by cosine, ties by
-    neighbor id; cos rounded to 6 dp."""
-    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
-    a = e.select(
-        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na")
+    neighbor id; cos rounded to 6 dp BEFORE ranking (matches the oracle).
+
+    Block-matmul execution (the reference's K-lane SoA batching analog,
+    batched_phast.rs:19-24): embeddings pack into ~n/B-row block
+    matrices, the B^2 block pairs cross-join (tiny rows — one flat
+    matrix each), each pair computes a BLAS matmul + per-query partial
+    top-k in mapInPandas, and a global window merges partials exactly.
+    O(n^2) stays, but fully parallel and vectorized — this is the
+    re-rank kernel; LSH below is the sub-quadratic scale path.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    blocks = _pack_blocks(embeddings, n_blocks)
+    a = blocks.select(
+        F.col("block_id").alias("ba"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
     )
-    b = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
+    b = blocks.select(
+        F.col("block_id").alias("bb"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
     )
-    pairs = a.join(b, F.col("vec_id") != F.col("neighbor_id"))
-    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
+    pairs = a.crossJoin(b).repartition(n_blocks * n_blocks)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.asarray(r.flat_a, dtype=np.float64).reshape(len(ids_a), -1)
+                B = np.asarray(r.flat_b, dtype=np.float64).reshape(len(ids_b), -1)
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                cos = np.round((A @ B.T) / np.outer(na, nb), 6)
+                cos[ids_a[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+                kk = min(k, cos.shape[1])
+                # partial top-k per query row with (cos desc, id asc) ties
+                order = np.lexsort((ids_b[None, :].repeat(len(ids_a), 0), -cos), axis=1)[:, :kk]
+                rows = np.repeat(ids_a, kk)
+                nbrs = ids_b[order.ravel()]
+                cvals = np.take_along_axis(cos, order, axis=1).ravel()
+                keep = np.isfinite(cvals)
+                yield pd.DataFrame(
+                    {"vec_id": rows[keep], "neighbor_id": nbrs[keep], "cos": cvals[keep]}
+                )
+
+    partials = pairs.mapInPandas(gemm, schema=out_schema)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("cos", cos)
-        .withColumn("rank", F.row_number().over(w))
+        partials.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos")
     )

@@ -129,6 +129,74 @@ def elevation_frontier(
     )
 
 
+def elevation_profile(
+    way_nodes: DataFrame, nodes: DataFrame, raster_tiles: DataFrame, interval_m: float = 100.0
+) -> DataFrame:
+    """R11: resample each way at ``interval_m`` arc steps and sample the
+    DEM at every step (route/src/server/elevation.rs:360-445).
+
+    Plan: cumulative-length pairs (P9 algebra) x exploded arc sequence ->
+    containing-segment join -> linear interp -> tile-cogrouped bilinear
+    sample. Output (way_id, k, lon_e7, lat_e7, elev_m)."""
+    from pyspark.sql import Window
+
+    from ..geo import haversine_m_col
+
+    wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
+        "way_id", "seq", "lon_e7", "lat_e7"
+    )
+    w = Window.partitionBy("way_id").orderBy("seq")
+    pairs = wv.select(
+        "way_id",
+        "seq",
+        "lon_e7",
+        "lat_e7",
+        F.lead("lon_e7").over(w).alias("nlon"),
+        F.lead("lat_e7").over(w).alias("nlat"),
+    ).filter(F.col("nlon").isNotNull())
+    seg = pairs.withColumn("seg_m", haversine_m_col("lon_e7", "lat_e7", "nlon", "nlat"))
+    seg = seg.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("seg_m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)),
+    )
+    totals = seg.groupBy("way_id").agg((F.sum("seg_m")).alias("total"))
+    arcs = totals.select(
+        "way_id",
+        F.explode(F.sequence(F.lit(0), F.floor(F.col("total") / F.lit(interval_m)).cast("int"))).alias("k"),
+    ).withColumn("arc_m", F.col("k") * F.lit(interval_m))
+    hit = arcs.join(seg, "way_id").filter(
+        (F.col("cum_before") <= F.col("arc_m"))
+        & (F.col("arc_m") < F.col("cum_before") + F.col("seg_m"))
+    )
+    frac = (F.col("arc_m") - F.col("cum_before")) / F.col("seg_m")
+    pts = hit.select(
+        "way_id",
+        "k",
+        F.round(F.col("lon_e7") + (F.col("nlon") - F.col("lon_e7")) * frac)
+        .cast("int")
+        .alias("lon_e7"),
+        F.round(F.col("lat_e7") + (F.col("nlat") - F.col("lat_e7")) * frac)
+        .cast("int")
+        .alias("lat_e7"),
+    )
+    sampled = dem_sample(
+        pts.select(
+            F.concat_ws("#", F.col("way_id").cast("string"), F.col("k").cast("string")).alias(
+                "query_id"
+            ),
+            "lon_e7",
+            "lat_e7",
+        ),
+        raster_tiles,
+    )
+    split = F.split(F.col("query_id"), "#")
+    return sampled.select(
+        split.getItem(0).cast("long").alias("way_id"),
+        split.getItem(1).cast("int").alias("k"),
+        "elev_m",
+    ).join(pts, ["way_id", "k"]).select("way_id", "k", "lon_e7", "lat_e7", "elev_m")
+
+
 def dem_coverage(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
     """R12: which points fall on a loaded DEM tile (semi-join on tile key)."""
     pts = points.select(

@@ -108,6 +108,7 @@ def radius_prefilter(
     radius_m: float,
     res: int = RADIUS_RES,
     point_id: str = "image_id",
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """(query_id, point_id, dist_m) for all points within radius_m.
 
@@ -115,6 +116,11 @@ def radius_prefilter(
     exact check (neighbors.rs:44-99); here the band is a bounded cell
     rectangle (equi-join on cell ids) and the exact check is the same
     final metric filter.
+
+    ``salt_threshold`` enables explicit hot-cell salting (operators/salt.py)
+    on top of AQE: point cells with occupancy above the threshold split
+    into hash-derived sub-keys. Result set is identical either way
+    (FIXTURES.md §9 invariant, asserted in tests).
     """
     s = cells.SIZE_E7[res]
     rx = int(radius_m / M_PER_DEG_LON * 1e7 // s) + 1
@@ -144,9 +150,14 @@ def radius_prefilter(
         cells.cell_col("lon_e7", "lat_e7", res).alias("cell_id"),
     )
     d2 = equirect_d2_col("qlon", "qlat", "plon", "plat")
+    if salt_threshold is not None:
+        from .salt import salted_join
+
+        joined = salted_join(p, q, key="cell_id", build_id="point_id", threshold=salt_threshold)
+    else:
+        joined = q.join(p, "cell_id", "inner")
     return (
-        q.join(p, "cell_id", "inner")
-        .withColumn("d2", d2)
+        joined.withColumn("d2", d2)
         .filter(F.col("d2") <= F.lit(radius_m * radius_m))
         .select("query_id", "point_id", F.round(F.sqrt("d2"), 3).alias("dist_m"))
     )

@@ -519,6 +519,42 @@ def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_same_way_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matrix import same_way_matrix
+
+    fix = _fix(sf_dir)
+    return same_way_matrix(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
+
+
+def sql_same_way_matrix(sf: str = ORACLE_SF) -> str:
+    from .operators.matrix import same_way_matrix_oracle_sql
+
+    return same_way_matrix_oracle_sql(_oracle_fix(sf))
+
+
+def q_bbox_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matrix import bbox_aggregate
+
+    return bbox_aggregate(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_bbox_agg(sf: str = ORACLE_SF) -> str:
+    from .operators.matrix import bbox_aggregate_oracle_sql
+
+    return bbox_aggregate_oracle_sql(_oracle_fix(sf))
+
+
+def q_elev_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.elevation import elevation_profile
+
+    fix = _fix(sf_dir)
+    return elevation_profile(
+        _read(spark, fix, "way_nodes"),
+        _read(spark, fix, "osm_nodes"),
+        _read(spark, fix, "raster_tiles"),
+    )
+
+
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.mapmatch import viterbi_match
 
@@ -613,6 +649,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "map_match": q_map_match,
     "tsp_trips": q_tsp_trips,
     "elev_frontier": q_elev_frontier,
+    "same_way_matrix": q_same_way_matrix,
+    "bbox_agg": q_bbox_agg,
+    "elev_profile": q_elev_profile,
 }
 
 ORACLES: dict[str, Callable[..., str]] = {
@@ -643,4 +682,6 @@ ORACLES: dict[str, Callable[..., str]] = {
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
     "dem_coverage": sql_dem_coverage,
+    "same_way_matrix": sql_same_way_matrix,
+    "bbox_agg": sql_bbox_agg,
 }

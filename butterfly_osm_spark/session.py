@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # zstd cold-section compression analog (route/src/formats/zstd_compress.rs).
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # scan-split size: at fixture scale the default 128 MB puts whole
+        # tables in one scan task; 4 MB exposes row-group parallelism. On a
+        # real 100 TB deployment this goes back to 128-256 MB (the R13
+        # cache-aware tile-size analog — sized to the data, not hardcoded).
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART", "4m"))
         # Deterministic timezone-free behavior.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -105,6 +105,24 @@ def test_knn_invariants(spark, fix001):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_salted_join_identical_results(spark, fix001):
+    """FIXTURES.md §9: salted and unsalted plans produce identical result
+    sets. The threshold must actually trigger (asserted) — a too-high
+    threshold makes this test vacuous."""
+    from butterfly_osm_spark import cells
+    from butterfly_osm_spark.operators.salt import hot_cells
+    from butterfly_osm_spark.operators.tiles import RADIUS_RES, radius_prefilter
+
+    q = spark.read.parquet(f"{fix001}/query_points.parquet")
+    p = spark.read.parquet(f"{fix001}/image_geo.parquet")
+    threshold = 3
+    pc = p.select("image_id", cells.cell_col("lon_e7", "lat_e7", RADIUS_RES).alias("cell_id"))
+    assert hot_cells(pc, threshold=threshold).count() > 0, "threshold must trigger real salting"
+    plain = {tuple(r) for r in radius_prefilter(q, p, 500.0).collect()}
+    salted = {tuple(r) for r in radius_prefilter(q, p, 500.0, salt_threshold=threshold).collect()}
+    assert plain == salted and len(plain) > 0
+
+
 def test_convex_hull_invariants(spark, fix001):
     """A9: every client lies inside (or on) its store's hull; hull is convex
     and CCW — checked against the candidate set from the same radius join."""
