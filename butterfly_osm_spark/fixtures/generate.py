@@ -85,7 +85,10 @@ def _repo_root() -> str:
 
 
 def fixture_dir(sf: str) -> str:
-    root = os.environ.get("BUTTERFLY_FIXTURE_DIR", os.path.join(_repo_root(), "fixtures"))
+    base = _repo_root()
+    if not os.path.isdir(base):  # running from a spark-submit --py-files zip
+        base = os.getcwd()
+    root = os.environ.get("BUTTERFLY_FIXTURE_DIR", os.path.join(base, "fixtures"))
     return os.path.join(root, f"sf{sf}")
 
 

@@ -41,17 +41,18 @@ N_BLOCKS = 16
 
 
 def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
-    """(block_id, ids ARRAY<LONG>, flat ARRAY<DOUBLE>): embeddings packed
-    into block matrices (row-major flat), ids sorted within the block."""
+    """(block_id, ids BINARY, flat BINARY): embeddings packed into block
+    matrices — int64/float64 raw bytes (Arrow moves them as single binary
+    cells; python-list packing of 60k floats was the dominant cost)."""
     import pandas as pd  # noqa: F401  (applyInPandas payload)
 
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
     schema = StructType(
         [
             StructField("block_id", IntegerType()),
-            StructField("ids", ArrayType(LongType())),
-            StructField("flat", ArrayType(DoubleType())),
+            StructField("ids", BinaryType()),
+            StructField("flat", BinaryType()),
         ]
     )
 
@@ -59,13 +60,38 @@ def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         return pd.DataFrame(
-            {"block_id": [key[0]], "ids": [pdf["vec_id"].tolist()], "flat": [m.ravel().tolist()]}
+            {
+                "block_id": [key[0]],
+                "ids": [pdf["vec_id"].to_numpy(np.int64).tobytes()],
+                "flat": [m.tobytes()],
+            }
         )
 
     tagged = embeddings.select(
         "vec_id", "embedding", (F.abs(F.xxhash64("vec_id")) % n_blocks).cast("int").alias("block_id")
     )
     return tagged.groupBy("block_id").applyInPandas(pack, schema=schema)
+
+
+def _topk_rows(cos: np.ndarray, ids_b: np.ndarray, k: int):
+    """Per-row top-k of (cos desc, id asc) — argpartition fast path with an
+    exact full-sort fallback for rows whose boundary tie could extend past
+    the selection margin."""
+    n, m = cos.shape
+    kk = min(k, m)
+    margin = min(m, kk + 32)
+    part = np.argpartition(-cos, margin - 1, axis=1)[:, :margin]
+    sub = np.take_along_axis(cos, part, axis=1)
+    sub_ids = ids_b[part]
+    o = np.lexsort((sub_ids, -sub), axis=1)
+    sel = np.take_along_axis(part, o[:, :kk], axis=1)
+    if margin < m:
+        sorted_sub = np.take_along_axis(sub, o, axis=1)
+        risky = sorted_sub[:, margin - 1] == sorted_sub[:, kk - 1]
+        for i in np.nonzero(risky)[0]:  # rare: tie spans the margin edge
+            full = np.lexsort((ids_b, -cos[i]))[:kk]
+            sel[i] = full
+    return sel
 
 
 def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_BLOCKS) -> DataFrame:
@@ -86,14 +112,24 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_
 
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
-    blocks = _pack_blocks(embeddings, n_blocks)
-    a = blocks.select(
-        F.col("block_id").alias("ba"), F.col("ids").alias("ids_a"), F.col("flat").alias("flat_a")
-    )
-    b = blocks.select(
-        F.col("block_id").alias("bb"), F.col("ids").alias("ids_b"), F.col("flat").alias("flat_b")
-    )
-    pairs = a.crossJoin(b).repartition(n_blocks * n_blocks)
+    blocks = _pack_blocks(embeddings, n_blocks).persist()
+    # partner blocks ship ONCE per worker as a SparkContext broadcast; each
+    # task streams only its own block through Arrow. (Duplicating the
+    # partner matrices into B^2 join rows made the Arrow exchange the
+    # bottleneck and collapsed under 32 concurrent workers. At a scale
+    # where the partner set exceeds executor memory, this degrades to the
+    # shuffled block-pair join — that threshold is far above any re-rank
+    # candidate set; the sub-quadratic path is LSH below anyway.)
+    spark = embeddings.sparkSession
+    bdata = [
+        (
+            np.frombuffer(r["ids"], dtype=np.int64),
+            np.frombuffer(r["flat"], dtype=np.float64).reshape(len(r["ids"]) // 8, -1),
+        )
+        for r in blocks.collect()
+    ]
+    bc = spark.sparkContext.broadcast(bdata)
+    a = blocks.repartition(n_blocks, "block_id")
 
     out_schema = StructType(
         [
@@ -104,28 +140,27 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_
     )
 
     def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        partners = bc.value
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                ids_a = np.asarray(r.ids_a, dtype=np.int64)
-                ids_b = np.asarray(r.ids_b, dtype=np.int64)
-                A = np.asarray(r.flat_a, dtype=np.float64).reshape(len(ids_a), -1)
-                B = np.asarray(r.flat_b, dtype=np.float64).reshape(len(ids_b), -1)
+                ids_a = np.frombuffer(r.ids, dtype=np.int64)
+                A = np.frombuffer(r.flat, dtype=np.float64).reshape(len(ids_a), -1)
                 na = np.sqrt((A * A).sum(axis=1))
-                nb = np.sqrt((B * B).sum(axis=1))
-                cos = np.round((A @ B.T) / np.outer(na, nb), 6)
-                cos[ids_a[:, None] == ids_b[None, :]] = -np.inf  # exclude self
-                kk = min(k, cos.shape[1])
-                # partial top-k per query row with (cos desc, id asc) ties
-                order = np.lexsort((ids_b[None, :].repeat(len(ids_a), 0), -cos), axis=1)[:, :kk]
-                rows = np.repeat(ids_a, kk)
-                nbrs = ids_b[order.ravel()]
-                cvals = np.take_along_axis(cos, order, axis=1).ravel()
-                keep = np.isfinite(cvals)
-                yield pd.DataFrame(
-                    {"vec_id": rows[keep], "neighbor_id": nbrs[keep], "cos": cvals[keep]}
-                )
+                for ids_b, B in partners:
+                    nb = np.sqrt((B * B).sum(axis=1))
+                    cos = np.round((A @ B.T) / np.outer(na, nb), 6)
+                    cos[ids_a[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+                    kk = min(k, cos.shape[1])
+                    order = _topk_rows(cos, ids_b, kk)
+                    rows = np.repeat(ids_a, kk)
+                    nbrs = ids_b[order.ravel()]
+                    cvals = np.take_along_axis(cos, order, axis=1).ravel()
+                    keep = np.isfinite(cvals)
+                    yield pd.DataFrame(
+                        {"vec_id": rows[keep], "neighbor_id": nbrs[keep], "cos": cvals[keep]}
+                    )
 
-    partials = pairs.mapInPandas(gemm, schema=out_schema)
+    partials = a.mapInPandas(gemm, schema=out_schema)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))

@@ -1,31 +1,36 @@
-"""kNN snap via k-ring expansion join (J5) with iterative widening.
+"""kNN snap via k-ring expansion join (J5) with adaptive resolution and
+iterative ring widening.
 
 Reference semantics: concentric cell rings around the query cell with an
 early exit once the accepted k-th best distance beats the next ring's
 inner edge (route/src/server/snap_index.rs:833-904 ``iterate_rings``;
-k-th-best tracking :625-754 ``snap_k_with_info_filtered_role``, the #525
-dense-cell fix), under a 5 km snap cutoff (route/src/server/spatial.rs:9).
+k-th-best tracking :625-754, the #525 dense-cell fix), under a 5 km snap
+cutoff (route/src/server/spatial.rs:9). The reference also sizes its
+grid cells from data density (``cell_log2``, snap_index.rs:183-201) —
+without that, urban cells hold thousands of points and the candidate
+join goes quadratic (the exact #525 pathology, reproduced here at sf1
+before this fix).
 
 Spark-first shape (SURVEY.md §7.1 step 5):
-- phase 1: queries x (3x3 k-ring) exploded -> cell-equi join against the
-  cell-keyed node table -> window ``row_number() OVER (PARTITION BY query
-  ORDER BY d2, node_id)`` (W1: deterministic ties by id).
-- a query is DONE if its k-th candidate distance is strictly inside the
-  guaranteed-covered radius (the ring-bound contract: every unexplored
-  cell is at least one full cell edge away — snap_index.rs:891-902).
-- phase 2 (the few unsatisfied queries, typically <10%): one bounded
-  rectangle of cells that provably covers the full 5 km cutoff. No loop
-  beyond this because the cutoff bounds the search a priori.
+- resolution: the COARSEST grid level whose p95 cell occupancy stays
+  under ``OCC_TARGET`` — computed in one pass (res-13 counts rolled up
+  to every parent level, two shuffles, tiny distinct-cell input).
+- phase loop with STATIC bounds: rectangles of Chebyshev radius
+  R = 1, 4, 16, ... until R provably covers the cutoff. Which queries
+  continue is decided inside the plan (anti-joins on the ring-bound
+  test) — no data-dependent driver loop.
+- ring-bound contract: after covering ±R cells, any unexplored point is
+  at least R * min_edge metres away; a query is DONE when its k-th
+  candidate beats that bound (or the rect covers the whole cutoff).
+- final rank: ``row_number() OVER (PARTITION BY query ORDER BY d2, id)``
+  (W1 deterministic ties).
 
 Ranking uses the reference's equirectangular metric with FIXED constants
 (spatial.rs:226-230) — pure arithmetic on fixed-point ints, bit-identical
 across Spark / numpy / DuckDB, so ranks match the SQL oracle exactly.
-Reported dist_m is the same metric (sqrt), rounded to mm.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -33,8 +38,10 @@ from pyspark.sql import functions as F
 from .. import cells
 from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON, equirect_d2_col, equirect_d2_sql
 
-DEFAULT_RES = 10  # ~892 m lon edge, ~1387 m lat edge at res 10
 CUTOFF_M = 5_000.0  # reference SNAP_CUTOFF (spatial.rs:9)
+OCC_TARGET = 64  # p95 cell occupancy ceiling (reference warns >8192/cell)
+RES_FLOOR, RES_CEIL = 7, 13
+RING_GROWTH = 4
 
 
 def _edge_m(res: int) -> tuple[float, float]:
@@ -42,14 +49,41 @@ def _edge_m(res: int) -> tuple[float, float]:
     return deg * M_PER_DEG_LON, deg * M_PER_DEG_LAT
 
 
-def _cover_rect(res: int, cutoff_m: float) -> tuple[int, int]:
-    """(rx, ry) such that every point within cutoff_m of the query lies in a
-    cell with |dx|<=rx and |dy|<=ry of the query cell (floor-grid bound:
-    coordinate delta d implies cell delta <= floor(d/size)+1)."""
-    s = cells.SIZE_E7[res]
-    dlon_e7 = cutoff_m / M_PER_DEG_LON * 1e7
-    dlat_e7 = cutoff_m / M_PER_DEG_LAT * 1e7
-    return int(dlon_e7 // s) + 1, int(dlat_e7 // s) + 1
+def adaptive_res(targets: DataFrame, occ_target: int = OCC_TARGET) -> int:
+    """Coarsest res in [7, 13] with p95 cell occupancy <= occ_target.
+
+    One fine-grained count, then every parent level derived from the
+    distinct-cell table in a single stacked aggregation.
+    """
+    fine = targets.select(cells.cell_col("lon_e7", "lat_e7", RES_CEIL).alias("c13")).groupBy(
+        "c13"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stacked = fine.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("res"),
+                        cells.parent_col("c13", RES_CEIL, r).alias("cell"),
+                    )
+                    for r in range(RES_FLOOR, RES_CEIL + 1)
+                ]
+            )
+        ).alias("rc"),
+        "n",
+    ).select(F.col("rc.res").alias("res"), F.col("rc.cell").alias("cell"), "n")
+    occ = (
+        stacked.groupBy("res", "cell")
+        .agg(F.sum("n").alias("occ"))
+        .groupBy("res")
+        .agg(F.expr("percentile_approx(occ, 0.95)").alias("p95"))
+        .collect()
+    )
+    p95 = {r["res"]: r["p95"] for r in occ}
+    for r in range(RES_FLOOR, RES_CEIL + 1):  # coarsest acceptable wins
+        if p95.get(r, 0) <= occ_target:
+            return r
+    return RES_CEIL
 
 
 def _candidates(queries: DataFrame, targets_cells: DataFrame, res: int, rx: int, ry: int) -> DataFrame:
@@ -97,7 +131,7 @@ def _rank_topk(cand: DataFrame, cutoff_m: float) -> DataFrame:
 def knn_join(
     queries: DataFrame,
     targets: DataFrame,
-    res: int = DEFAULT_RES,
+    res: int | None = None,
     cutoff_m: float = CUTOFF_M,
     target_id: str = "id",
 ) -> DataFrame:
@@ -107,6 +141,8 @@ def knn_join(
     (d2, node_id); dist_m rounded to mm. Queries with no target inside
     the cutoff produce no rows (reference empty-snap semantics).
     """
+    if res is None:
+        res = adaptive_res(targets)
     tc = targets.select(
         F.col(target_id).alias("node_id"),
         F.col("lon_e7").alias("nlon"),
@@ -115,31 +151,67 @@ def knn_join(
     )
 
     edge_lon_m, edge_lat_m = _edge_m(res)
-    # ring-bound: after scanning the 3x3 neighborhood, any unexplored point
-    # is at least one full (smaller) cell edge away
-    bound_m = min(edge_lon_m, edge_lat_m, cutoff_m)
+    min_edge = min(edge_lon_m, edge_lat_m)
+    # floor-grid cover bound per axis: every point within cutoff lies
+    # within this many cells of the query cell
+    rx_max = int(cutoff_m / edge_lon_m) + 1
+    ry_max = int(cutoff_m / edge_lat_m) + 1
 
-    phase1 = _rank_topk(_candidates(queries, tc, res, 1, 1), cutoff_m).persist()
-    kth = phase1.groupBy("query_id").agg(
-        F.max("rank").alias("n_found"), F.max("d2").alias("kth_d2"), F.first("k").alias("k")
+    # coarse emptiness prefilter (J10 tile-membership): queries whose
+    # cutoff rectangle at a coarse level contains NO target cell can never
+    # produce a row — drop them before any ring work (the reference's
+    # region-tile membership gate, region_tiles.rs:98-120)
+    coarse = min(8, res)  # never coarser than the chosen working res
+    ce_lon, ce_lat = _edge_m(coarse)
+    crx, cry = int(cutoff_m / ce_lon) + 1, int(cutoff_m / ce_lat) + 1
+    tcells = tc.select(cells.parent_col("cell_id", res, coarse).alias("ccell")).distinct()
+    qoff = F.array(
+        *[
+            F.lit(dy * (1 << cells.Y_SHIFT) + dx)
+            for dx in range(-crx, crx + 1)
+            for dy in range(-cry, cry + 1)
+        ]
     )
-    done_q = kth.filter(
-        (F.col("n_found") >= F.col("k")) & (F.col("kth_d2") < F.lit(bound_m * bound_m))
-    ).select("query_id")
+    q_live = (
+        queries.withColumn("qc", cells.cell_col("lon_e7", "lat_e7", coarse))
+        .withColumn("off", F.explode(qoff))
+        .withColumn("ccell", F.col("qc") + F.col("off"))
+        .join(F.broadcast(tcells), "ccell", "left_semi")
+        .select("query_id", "lon_e7", "lat_e7", "k")
+        .distinct()
+    )
 
-    done = phase1.join(done_q, "query_id", "left_semi")
-    todo = queries.join(done_q, "query_id", "left_anti")
+    remaining = q_live
+    parts: list[DataFrame] = []
+    R = 1
+    while True:
+        covers_cutoff = R >= rx_max and R >= ry_max
+        rx, ry = min(R, rx_max), min(R, ry_max)
+        ranked = _rank_topk(_candidates(remaining, tc, res, rx, ry), cutoff_m)
+        if covers_cutoff:
+            parts.append(ranked)
+            break
+        ranked = ranked.persist()
+        bound_m = min(R * min_edge, cutoff_m)
+        kth = ranked.groupBy("query_id").agg(
+            F.max("rank").alias("n_found"), F.max("d2").alias("kth_d2"), F.first("k").alias("k")
+        )
+        done_q = kth.filter(
+            (F.col("n_found") >= F.col("k")) & (F.col("kth_d2") < F.lit(bound_m * bound_m))
+        ).select("query_id")
+        parts.append(ranked.join(done_q, "query_id", "left_semi"))
+        remaining = remaining.join(done_q, "query_id", "left_anti")
+        R *= RING_GROWTH
 
-    rx, ry = _cover_rect(res, cutoff_m)
-    phase2 = _rank_topk(_candidates(todo, tc, res, rx, ry), cutoff_m)
-
-    out = done.unionByName(phase2).select(
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         "node_id",
         F.round(F.sqrt("d2"), 3).alias("dist_m"),
     )
-    return out
 
 
 def knn_oracle_sql(fix: str, cutoff_m: float = CUTOFF_M) -> str:

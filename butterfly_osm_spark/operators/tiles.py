@@ -102,11 +102,21 @@ FROM cxy
 RADIUS_RES = 9
 
 
+def res_for_radius(radius_m: float) -> int:
+    """Finest res whose lon cell edge is >= radius/2 — scans ~2-3 cells
+    per axis instead of sweeping many oversized cells (the reference sizes
+    its longitude bands to the radius, neighbors.rs:8-11)."""
+    for r in range(13, 6, -1):
+        if cells.SIZE_E7[r] / 1e7 * M_PER_DEG_LON >= radius_m / 2:
+            return r
+    return 7
+
+
 def radius_prefilter(
     queries: DataFrame,
     points: DataFrame,
     radius_m: float,
-    res: int = RADIUS_RES,
+    res: int | None = None,
     point_id: str = "image_id",
     salt_threshold: int | None = None,
 ) -> DataFrame:
@@ -122,6 +132,8 @@ def radius_prefilter(
     into hash-derived sub-keys. Result set is identical either way
     (FIXTURES.md §9 invariant, asserted in tests).
     """
+    if res is None:
+        res = res_for_radius(radius_m)
     s = cells.SIZE_E7[res]
     rx = int(radius_m / M_PER_DEG_LON * 1e7 // s) + 1
     ry = int(radius_m / M_PER_DEG_LAT * 1e7 // s) + 1
