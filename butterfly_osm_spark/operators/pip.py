@@ -45,6 +45,7 @@ from .. import cells
 # under this cell count.
 MAX_COVER_CELLS = 256
 MIN_RES, MAX_RES = 7, 13
+REFINE_SALTS = 8  # split per-polygon ray-cast groups (point-independent)
 
 _COVER_SCHEMA = StructType(
     [
@@ -174,8 +175,18 @@ def pip_join(
     ).select("point_id", "px", "py", "polygon_id", "coverage")
 
     full_hits = cand.filter(F.col("coverage") == "full").select("point_id", "polygon_id")
-    partial = cand.filter(F.col("coverage") == "partial").select("point_id", "px", "py", "polygon_id")
-    edges = polygon_edges_df(polygons)
+    # ray-casting is per-point independent, so a dense polygon's candidate
+    # set splits into REFINE_SALTS hash sub-groups (edges replicated per
+    # salt — tiny) instead of one skewed task per polygon
+    partial = cand.filter(F.col("coverage") == "partial").select(
+        "point_id",
+        "px",
+        "py",
+        "polygon_id",
+        F.pmod(F.xxhash64("point_id"), F.lit(REFINE_SALTS)).alias("salt"),
+    )
+    salts = F.explode(F.array(*[F.lit(s) for s in range(REFINE_SALTS)])).alias("salt")
+    edges = polygon_edges_df(polygons).select("*", salts)
 
     def refine(key: tuple, cand_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(cand_pdf) == 0 or len(edge_pdf) == 0:
@@ -193,8 +204,8 @@ def pip_join(
         return hit[["point_id", "polygon_id"]]
 
     refined = (
-        partial.groupBy("polygon_id")
-        .cogroup(edges.groupBy("polygon_id"))
+        partial.groupBy("polygon_id", "salt")
+        .cogroup(edges.groupBy("polygon_id", "salt"))
         .applyInPandas(refine, schema=_PAIR_SCHEMA)
     )
     return full_hits.unionByName(refined)

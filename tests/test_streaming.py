@@ -1,0 +1,63 @@
+"""Streaming ops: stream result must EQUAL the batch plan over the same
+files (endpoint-consistency discipline); dedup drops re-deliveries."""
+
+import pyspark.sql.functions as F
+
+
+def _landing(spark, fix001, tmp_path, n_files=4):
+    """Write fixture image_geo rows + deterministic event times as a
+    multi-file landing zone."""
+    d = str(tmp_path / "landing")
+    df = (
+        spark.read.parquet(f"{fix001}/image_geo.parquet")
+        .withColumn(
+            "event_time",
+            F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.xxhash64("image_id"), F.lit(3600))),
+        )
+        .select("image_id", "lon_e7", "lat_e7", "event_time")
+    )
+    df.repartition(n_files).write.mode("overwrite").parquet(d)
+    return d, df
+
+
+def test_stream_counts_equal_batch(spark, fix001, tmp_path):
+    from butterfly_osm_spark.streaming.ingest import (
+        batch_cell_counts,
+        read_image_stream,
+        streaming_cell_counts,
+    )
+
+    d, batch_df = _landing(spark, fix001, tmp_path)
+    out = streaming_cell_counts(read_image_stream(spark, d, max_files=2))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cellcounts").collect()}
+    want = {tuple(r) for r in batch_cell_counts(spark.read.parquet(d)).collect()}
+    assert got == want and len(want) > 10
+
+
+def test_streaming_dedup_drops_redelivery(spark, fix001, tmp_path):
+    from butterfly_osm_spark.streaming.ingest import read_image_stream, streaming_dedup
+
+    d, batch_df = _landing(spark, fix001, tmp_path, n_files=1)
+    # re-deliver the same rows as a second file (same ids, same times)
+    batch_df.write.mode("append").parquet(d)
+    out = streaming_dedup(read_image_stream(spark, d, max_files=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT image_id FROM deduped").collect()
+    ids = [r.image_id for r in rows]
+    assert len(ids) == len(set(ids)), "re-delivered ids must be dropped"
+    assert len(set(ids)) == batch_df.count()
