@@ -169,6 +169,73 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame, tau: float = 0.95, n_blocks: int = 16
+) -> DataFrame:
+    """(vec_id, neighbor_id, cos): ALL ordered pairs with cosine >= tau —
+    exact embedding near-duplicate detection (the dedup mandate's
+    embedding-cosine flavor). Same block-matmul execution as the top-k
+    kernel, emitting threshold survivors instead of top-k; at 10^12 rows
+    the LSH bucket join below pre-filters candidates first."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    blocks = _pack_blocks(embeddings, n_blocks).persist()
+    spark = embeddings.sparkSession
+    bdata = [
+        (
+            np.frombuffer(r["ids"], dtype=np.int64),
+            np.frombuffer(r["flat"], dtype=np.float64).reshape(len(r["ids"]) // 8, -1),
+        )
+        for r in blocks.collect()
+    ]
+    bc = spark.sparkContext.broadcast(bdata)
+    a = blocks.repartition(n_blocks, "block_id")
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        partners = bc.value
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids_a = np.frombuffer(r.ids, dtype=np.int64)
+                A = np.frombuffer(r.flat, dtype=np.float64).reshape(len(ids_a), -1)
+                na = np.sqrt((A * A).sum(axis=1))
+                for ids_b, B in partners:
+                    nb = np.sqrt((B * B).sum(axis=1))
+                    cos = np.round((A @ B.T) / np.outer(na, nb), 6)
+                    # ordered pairs only (a < b): each unordered pair emits once
+                    mask = (cos >= tau) & (ids_a[:, None] < ids_b[None, :])
+                    ai, bi = np.nonzero(mask)
+                    yield pd.DataFrame(
+                        {"vec_id": ids_a[ai], "neighbor_id": ids_b[bi], "cos": cos[ai, bi]}
+                    )
+
+    return a.mapInPandas(gemm, schema=out_schema)
+
+
+def embedding_neardup_oracle_sql(tau: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id, b.vec_id AS neighbor_id,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                    * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+            / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+                   * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) >= {tau}
+"""
+
+
 def cosine_topk_oracle_sql(k: int = 5) -> str:
     """DuckDB oracle: same metric via explicit zipped-list fold."""
     return f"""

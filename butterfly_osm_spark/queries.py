@@ -380,6 +380,15 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk_bruteforce(_embs(spark, sf_dir))
 
 
+NEARDUP_TAU = 0.35  # driver embeddings are near-orthogonal (max cos ~0.48)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    from .operators.ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_embs(spark, sf_dir), tau=NEARDUP_TAU)
+
+
 def q_ann_cosine_lsh(spark, sf_dir):
     from .operators.ann import cosine_topk_lsh
 
@@ -634,6 +643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "embedding_neardup": q_embedding_neardup,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
     "way_polyline6": q_way_polyline6,
@@ -677,6 +687,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
+    "embedding_neardup": lambda sf=ORACLE_SF: __import__(
+        "butterfly_osm_spark.operators.ann", fromlist=["x"]
+    ).embedding_neardup_oracle_sql(NEARDUP_TAU),
     "wkb_sink": sql_wkb_sink,
     "interp_midpoint": sql_interp_midpoint,
     "phash_dedup": sql_phash_dedup,
