@@ -183,14 +183,26 @@ def pip_join(
         "px",
         "py",
         "polygon_id",
-        F.pmod(F.xxhash64("point_id"), F.lit(REFINE_SALTS)).alias("salt"),
+        # cast to int so both cogroup sides carry the SAME salt dtype —
+        # a Long-vs-Integer mismatch hash-partitions the two sides
+        # incompatibly and whole salt groups silently meet an empty edge
+        # frame (round-1 pip_images failure under local[32] defaults)
+        F.pmod(F.xxhash64("point_id"), F.lit(REFINE_SALTS)).cast("int").alias("salt"),
     )
-    salts = F.explode(F.array(*[F.lit(s) for s in range(REFINE_SALTS)])).alias("salt")
+    salts = F.explode(F.array(*[F.lit(s).cast("int") for s in range(REFINE_SALTS)])).alias("salt")
     edges = polygon_edges_df(polygons).select("*", salts)
 
     def refine(key: tuple, cand_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cand_pdf) == 0 or len(edge_pdf) == 0:
+        if len(cand_pdf) == 0:
             return pd.DataFrame({"point_id": pd.Series(dtype=str), "polygon_id": pd.Series(dtype=str)})
+        if len(edge_pdf) == 0:
+            # edges are replicated to EVERY salt, so a non-empty candidate
+            # group can never legitimately see an empty edge frame; this
+            # state means the cogroup keys diverged (e.g. dtype mismatch).
+            raise RuntimeError(
+                f"pip refine: {len(cand_pdf)} candidates for key {key} met an "
+                "empty edge frame — cogroup key mismatch (salt dtype?)"
+            )
         inside = _raycast_np(
             cand_pdf["px"].to_numpy(np.float64),
             cand_pdf["py"].to_numpy(np.float64),

@@ -182,3 +182,42 @@ def test_pip_subset_of_bbox(spark, fix001):
     ).fetchall()
     assert hits <= set(map(tuple, bbox)), "PIP output must be subset of bbox prefilter"
     assert len(hits) > 0
+
+
+def test_pip_oracle_at_session_defaults(fix001):
+    """Regression for the round-1 salt-dtype bug: pip_join must hash-match
+    the DuckDB oracle under the SHIPPED session defaults (local[32],
+    32 shuffle partitions, AQE on) — the exact config where the Long/Int
+    cogroup-salt mismatch silently dropped ~half the ray-cast rows while
+    local[8]/8 happened to pass. Runs in a subprocess because the pytest
+    session fixture already owns a local[8] JVM."""
+    import subprocess
+    import sys
+
+    script = f"""
+import duckdb
+from butterfly_osm_spark.session import get_spark
+from butterfly_osm_spark.operators.pip import pip_join, pip_oracle_sql
+
+spark = get_spark(app_name="pip-regression", master="local[32]", shuffle_partitions="32")
+fix = {fix001!r}
+got = sorted(
+    (r.point_id, r.polygon_id)
+    for r in pip_join(
+        spark.read.parquet(fix + "/image_geo.parquet"),
+        spark.read.parquet(fix + "/polygons.parquet"),
+    ).collect()
+)
+want = sorted(map(tuple, duckdb.sql(pip_oracle_sql(fix)).fetchall()))
+assert got == want, f"pip mismatch at local[32]: spark={{len(got)}} oracle={{len(want)}}"
+print("PIP_LOCAL32_OK", len(got))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    assert "PIP_LOCAL32_OK" in proc.stdout
