@@ -148,7 +148,7 @@ def run_scaling_level(sf_dir: str, cpus: int) -> dict:
 
         def ann_once() -> float:
             t0 = time.time()
-            cosine_topk_bruteforce(v, k=5, n_blocks=128).count()
+            cosine_topk_bruteforce(v, k=5).count()
             return time.time() - t0
 
         ann_once()

@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "7"
+FIXTURE_VERSION = "8"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -624,6 +624,23 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
     n_traces = max(20, int(200 * float(sf) / 0.01))
     _write(out_dir, "traces", _gen_traces(np.random.default_rng([SEED, 7]), wn, n_traces))
+
+    # LSH hyperplanes materialized as a table so DuckDB can replicate the
+    # ANN sketch pipeline relationally (differential oracle for
+    # ann_cosine_lsh) — same Philox(42) matrix the Spark UDF uses.
+    from ..operators.ann import lsh_planes
+
+    planes = lsh_planes()
+    _write(
+        out_dir,
+        "lsh_planes",
+        pa.table(
+            {
+                "plane_id": pa.array(np.arange(planes.shape[0], dtype=np.int32)),
+                "vec": pa.array([row for row in planes.astype(np.float64)]),
+            }
+        ),
+    )
 
 
 def ensure_fixtures(sf: str) -> str:

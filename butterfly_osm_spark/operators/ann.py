@@ -1,32 +1,49 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``cosine_topk_bruteforce``: exact top-k cosine neighbors — the
-  correctness baseline. Dot products stay JVM-side via zip_with +
-  aggregate (sequential left-fold => deterministic summation order).
-  Scale: O(n^2); only for oracles and re-ranking.
-- ``cosine_topk_lsh``: the scale path — random-hyperplane LSH (sign-bit
-  sketch in a vectorized pandas UDF), bucket equi-join on band chunks,
-  exact re-rank within candidates. Recall is tested against the brute
-  force on fixtures; at 10^12 rows the bucket join replaces the cross
-  product entirely.
+- ``cosine_topk_bruteforce`` / ``embedding_neardup_pairs``: exact cosine
+  kernels sharing one block-pair gemm — embeddings pack into ~n/B-row
+  block matrices, every unordered block pair (i<=j) becomes ONE shuffle
+  group, and a cogrouped gemm computes the cross-block cosine tile.
+  Fully distributed: nothing is ever collected to the driver; the pair
+  grid is the Spark analog of the reference's K-lane SoA batching
+  (route/src/matrix/batched_phast.rs:19-24).  O(n^2) compute stays — the
+  exact kernels are the correctness baseline / bounded re-rank stage;
+  the LSH path below is the sub-quadratic route at 10^12 rows.
+- ``cosine_topk_lsh``: random-hyperplane LSH — sign-bit sketch against a
+  FIXTURE-MATERIALIZED plane matrix (so a SQL engine can replicate the
+  whole pipeline as a differential oracle), band-chunk bucket join,
+  exact cosine re-rank of candidates only.  Banding is parametric:
+  ``bits_per_band`` sets the bucket space per band (2^bits buckets);
+  at web scale pick bits ~ log2(n) so expected bucket occupancy stays
+  O(1) and the candidate set is O(bands * n) instead of O(n^2) — the
+  16-bit preset (``LSH_SCALE_BANDS/BITS``) is the 10^12-row shape, the
+  8-bit default keeps mid-cosine recall useful on near-orthogonal data.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _norm_dot(a: str, b: str):
-    dot = F.aggregate(
+    return F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return dot
 
 
 def _self_norm(c: str):
@@ -37,26 +54,41 @@ def _self_norm(c: str):
     )
 
 
-N_BLOCKS = 16
+# target rows per block: big enough that the gemm amortizes Arrow + task
+# overhead, small enough that a 2-block pair group stays a few MB
+_BLOCK_ROWS = 4096
+_MAX_BLOCKS = 512
+
+_BLOCK_SCHEMA = StructType(
+    [
+        StructField("block_id", IntegerType()),
+        StructField("ids", BinaryType()),
+        StructField("flat", BinaryType()),
+    ]
+)
+
+_PAIR_OUT = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos", DoubleType()),
+    ]
+)
+
+
+def _auto_blocks(embeddings: DataFrame, n_blocks: int | None) -> int:
+    if n_blocks is not None:
+        return n_blocks
+    n = embeddings.count()
+    return max(1, min(_MAX_BLOCKS, math.ceil(n / _BLOCK_ROWS)))
 
 
 def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
     """(block_id, ids BINARY, flat BINARY): embeddings packed into block
     matrices — int64/float64 raw bytes (Arrow moves them as single binary
     cells; python-list packing of 60k floats was the dominant cost)."""
-    import pandas as pd  # noqa: F401  (applyInPandas payload)
 
-    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
-
-    schema = StructType(
-        [
-            StructField("block_id", IntegerType()),
-            StructField("ids", BinaryType()),
-            StructField("flat", BinaryType()),
-        ]
-    )
-
-    def pack(key: tuple, pdf):
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         return pd.DataFrame(
@@ -70,7 +102,7 @@ def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
     tagged = embeddings.select(
         "vec_id", "embedding", (F.abs(F.xxhash64("vec_id")) % n_blocks).cast("int").alias("block_id")
     )
-    return tagged.groupBy("block_id").applyInPandas(pack, schema=schema)
+    return tagged.groupBy("block_id").applyInPandas(pack, schema=_BLOCK_SCHEMA)
 
 
 def _topk_rows(cos: np.ndarray, ids_b: np.ndarray, k: int):
@@ -94,73 +126,96 @@ def _topk_rows(cos: np.ndarray, ids_b: np.ndarray, k: int):
     return sel
 
 
-def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_BLOCKS) -> DataFrame:
-    """(vec_id, rank, neighbor_id, cos) — exact top-k by cosine, ties by
-    neighbor id; cos rounded to 6 dp BEFORE ranking (matches the oracle).
+def _pair_grid(blocks: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate each block row to every unordered pair group it belongs
+    to: block i lands in groups {(min(i,j), max(i,j)) : j in 0..B-1},
+    keyed pair_id = lo*B + hi.  This is the shuffled block-pair join —
+    total shuffle volume is B x |embeddings| bytes, spread over B(B+1)/2
+    independent gemm tasks; no driver collect, no SparkContext broadcast."""
+    pair_expr = F.expr(
+        f"transform(sequence(0, {n_blocks - 1}), j -> "
+        f"CAST(least(block_id, j) * {n_blocks} + greatest(block_id, j) AS INT))"
+    )
+    return blocks.select(F.explode(pair_expr).alias("pair_id"), "block_id", "ids", "flat")
 
-    Block-matmul execution (the reference's K-lane SoA batching analog,
-    batched_phast.rs:19-24): embeddings pack into ~n/B-row block
-    matrices, the B^2 block pairs cross-join (tiny rows — one flat
-    matrix each), each pair computes a BLAS matmul + per-query partial
-    top-k in mapInPandas, and a global window merges partials exactly.
-    O(n^2) stays, but fully parallel and vectorized — this is the
-    re-rank kernel; LSH below is the sub-quadratic scale path.
+
+def _block_pair_partials(
+    embeddings: DataFrame,
+    mode: str,
+    k: int = 5,
+    tau: float = 0.95,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Shared exact-cosine kernel over the block-pair grid.
+
+    mode='topk'  -> per-query partial top-k rows (merge with a window)
+    mode='thresh'-> ordered (vec_id < neighbor_id) pairs with cos >= tau
     """
-    from typing import Iterator
-
-    import pandas as pd
-
-    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
-
-    blocks = _pack_blocks(embeddings, n_blocks).persist()
-    # partner blocks ship ONCE per worker as a SparkContext broadcast; each
-    # task streams only its own block through Arrow. (Duplicating the
-    # partner matrices into B^2 join rows made the Arrow exchange the
-    # bottleneck and collapsed under 32 concurrent workers. At a scale
-    # where the partner set exceeds executor memory, this degrades to the
-    # shuffled block-pair join — that threshold is far above any re-rank
-    # candidate set; the sub-quadratic path is LSH below anyway.)
-    spark = embeddings.sparkSession
-    bdata = [
-        (
-            np.frombuffer(r["ids"], dtype=np.int64),
-            np.frombuffer(r["flat"], dtype=np.float64).reshape(len(r["ids"]) // 8, -1),
-        )
-        for r in blocks.collect()
-    ]
-    bc = spark.sparkContext.broadcast(bdata)
-    a = blocks.repartition(n_blocks, "block_id")
-
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("cos", DoubleType()),
-        ]
+    B = _auto_blocks(embeddings, n_blocks)
+    grid = _pair_grid(_pack_blocks(embeddings, B), B)
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype=np.int64),
+            "neighbor_id": pd.Series(dtype=np.int64),
+            "cos": pd.Series(dtype=np.float64),
+        }
     )
 
-    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        partners = bc.value
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                ids_a = np.frombuffer(r.ids, dtype=np.int64)
-                A = np.frombuffer(r.flat, dtype=np.float64).reshape(len(ids_a), -1)
-                na = np.sqrt((A * A).sum(axis=1))
-                for ids_b, B in partners:
-                    nb = np.sqrt((B * B).sum(axis=1))
-                    cos = np.round((A @ B.T) / np.outer(na, nb), 6)
-                    cos[ids_a[:, None] == ids_b[None, :]] = -np.inf  # exclude self
-                    kk = min(k, cos.shape[1])
-                    order = _topk_rows(cos, ids_b, kk)
-                    rows = np.repeat(ids_a, kk)
-                    nbrs = ids_b[order.ravel()]
-                    cvals = np.take_along_axis(cos, order, axis=1).ravel()
-                    keep = np.isfinite(cvals)
-                    yield pd.DataFrame(
-                        {"vec_id": rows[keep], "neighbor_id": nbrs[keep], "cos": cvals[keep]}
-                    )
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(key[0]), B)
+        got = {}
+        for r in pdf.itertuples(index=False):
+            ids = np.frombuffer(r.ids, dtype=np.int64)
+            got[int(r.block_id)] = (ids, np.frombuffer(r.flat, dtype=np.float64).reshape(len(ids), -1))
+        if i not in got or j not in got:  # partner block empty at this B
+            return empty
+        ids_a, A = got[i]
+        ids_b, Bm = got[j]
+        na = np.sqrt((A * A).sum(axis=1))
+        nb = np.sqrt((Bm * Bm).sum(axis=1))
+        cos = np.round((A @ Bm.T) / np.outer(na, nb), 6)
+        if mode == "thresh":
+            mask = cos >= tau
+            if i == j:
+                mask &= ids_a[:, None] < ids_b[None, :]
+            ai, bi = np.nonzero(mask)
+            va, vb = ids_a[ai], ids_b[bi]
+            return pd.DataFrame(
+                {
+                    "vec_id": np.minimum(va, vb),
+                    "neighbor_id": np.maximum(va, vb),
+                    "cos": cos[ai, bi],
+                }
+            )
+        out = []
 
-    partials = a.mapInPandas(gemm, schema=out_schema)
+        def emit(cm: np.ndarray, qids: np.ndarray, cids: np.ndarray) -> None:
+            kk = min(k, cm.shape[1])
+            sel = _topk_rows(cm, cids, kk)
+            rows = np.repeat(qids, kk)
+            nbrs = cids[sel.ravel()]
+            cvals = np.take_along_axis(cm, sel, axis=1).ravel()
+            keep = np.isfinite(cvals)
+            out.append(pd.DataFrame({"vec_id": rows[keep], "neighbor_id": nbrs[keep], "cos": cvals[keep]}))
+
+        if i == j:
+            cm = cos.copy()
+            cm[ids_a[:, None] == ids_b[None, :]] = -np.inf  # exclude self
+            emit(cm, ids_a, ids_b)
+        else:
+            emit(cos, ids_a, ids_b)
+            emit(np.ascontiguousarray(cos.T), ids_b, ids_a)
+        return pd.concat(out) if out else empty
+
+    return grid.groupBy("pair_id").applyInPandas(kernel, schema=_PAIR_OUT)
+
+
+def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int | None = None) -> DataFrame:
+    """(vec_id, rank, neighbor_id, cos) — exact top-k by cosine, ties by
+    neighbor id; cos rounded to 6 dp BEFORE ranking (matches the oracle).
+    Each block pair contributes a per-query partial top-k; a global
+    window merges the partials exactly."""
+    partials = _block_pair_partials(embeddings, "topk", k=k, n_blocks=n_blocks)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         partials.withColumn("rank", F.row_number().over(w))
@@ -170,57 +225,14 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = 5, n_blocks: int = N_
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, tau: float = 0.95, n_blocks: int = 16
+    embeddings: DataFrame, tau: float = 0.95, n_blocks: int | None = None
 ) -> DataFrame:
     """(vec_id, neighbor_id, cos): ALL ordered pairs with cosine >= tau —
     exact embedding near-duplicate detection (the dedup mandate's
-    embedding-cosine flavor). Same block-matmul execution as the top-k
-    kernel, emitting threshold survivors instead of top-k; at 10^12 rows
-    the LSH bucket join below pre-filters candidates first."""
-    from typing import Iterator
-
-    import pandas as pd
-
-    from pyspark.sql.types import DoubleType, StructField, StructType
-
-    blocks = _pack_blocks(embeddings, n_blocks).persist()
-    spark = embeddings.sparkSession
-    bdata = [
-        (
-            np.frombuffer(r["ids"], dtype=np.int64),
-            np.frombuffer(r["flat"], dtype=np.float64).reshape(len(r["ids"]) // 8, -1),
-        )
-        for r in blocks.collect()
-    ]
-    bc = spark.sparkContext.broadcast(bdata)
-    a = blocks.repartition(n_blocks, "block_id")
-
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("neighbor_id", LongType()),
-            StructField("cos", DoubleType()),
-        ]
-    )
-
-    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        partners = bc.value
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                ids_a = np.frombuffer(r.ids, dtype=np.int64)
-                A = np.frombuffer(r.flat, dtype=np.float64).reshape(len(ids_a), -1)
-                na = np.sqrt((A * A).sum(axis=1))
-                for ids_b, B in partners:
-                    nb = np.sqrt((B * B).sum(axis=1))
-                    cos = np.round((A @ B.T) / np.outer(na, nb), 6)
-                    # ordered pairs only (a < b): each unordered pair emits once
-                    mask = (cos >= tau) & (ids_a[:, None] < ids_b[None, :])
-                    ai, bi = np.nonzero(mask)
-                    yield pd.DataFrame(
-                        {"vec_id": ids_a[ai], "neighbor_id": ids_b[bi], "cos": cos[ai, bi]}
-                    )
-
-    return a.mapInPandas(gemm, schema=out_schema)
+    embedding-cosine flavor).  Same block-pair gemm, threshold emission:
+    each unordered pair lives in exactly one block-pair group, so no
+    post-dedup is needed."""
+    return _block_pair_partials(embeddings, "thresh", tau=tau, n_blocks=n_blocks)
 
 
 def embedding_neardup_oracle_sql(tau: float = 0.95) -> str:
@@ -258,57 +270,60 @@ FROM ranked WHERE rank <= {k}
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 32
-N_BANDS = 8  # 8 bands x 4 bits — tuned for recall on mid-cosine neighbors
+N_PLANES = 128
+# default banding: 16 bands x 8 bits — useful mid-cosine recall on
+# near-orthogonal data with a ~n^2/32 candidate set at fixture n.
+N_BANDS = 16
 BITS_PER_BAND = N_PLANES // N_BANDS
+# web-scale preset: 8 bands x 16 bits (65 536 buckets/band) — the shape
+# for the high-similarity near-dup regime at 10^12 rows, where bucket
+# occupancy must stay O(1); see tests/test_approx_ops.py for the seeded
+# high-similarity recall + candidate-count gate on this preset.
+LSH_SCALE_BANDS, LSH_SCALE_BITS = 8, 16
 
 
-def _planes(dim: int) -> np.ndarray:
+def lsh_planes(dim: int = 64, n_planes: int = N_PLANES) -> np.ndarray:
+    """Deterministic hyperplane matrix (Philox key 42) — the SAME values
+    are materialized as the ``lsh_planes`` fixture parquet so a SQL
+    engine can recompute the sketch bits as a differential oracle."""
     rng = np.random.Generator(np.random.Philox(key=42))
-    return rng.standard_normal((N_PLANES, dim))
+    return rng.standard_normal((n_planes, dim))
 
 
-def make_sketch_udf(dim: int):
-    planes = _planes(dim)
+def make_chunks_udf(dim: int, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND):
+    """pandas UDF: embedding -> array<long> of band chunks. Bit i of band
+    b is sign(dot(v, plane[b*bits+i])) — strict > 0, matching the SQL
+    oracle's CASE WHEN dot > 0."""
+    planes = lsh_planes(dim, n_bands * bits)
 
-    @F.pandas_udf(LongType())
-    def sketch(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy())  # (batch, dim)
-        signs = (m @ planes.T) > 0  # (batch, n_planes)
-        vals = np.zeros(len(emb), dtype=np.uint64)
-        for i in range(N_PLANES):
-            vals |= signs[:, i].astype(np.uint64) << np.uint64(i)
-        return pd.Series(vals.astype(np.int64))
+    from pyspark.sql.types import ArrayType
 
-    return sketch
+    @F.pandas_udf(ArrayType(LongType()))
+    def chunks(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)  # (batch, dim)
+        signs = (m @ planes.T) > 0  # (batch, n_bands*bits)
+        weights = (1 << np.arange(bits, dtype=np.uint64)).astype(np.uint64)
+        out = []
+        for row in signs:
+            per_band = row.reshape(n_bands, bits).astype(np.uint64) @ weights
+            out.append(per_band.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return chunks
 
 
-def cosine_topk_lsh(embeddings: DataFrame, k: int = 5, dim: int = 64) -> DataFrame:
-    """Approximate top-k: hyperplane-sketch band join -> exact re-rank.
-    Same output schema as the brute force; recall measured in tests."""
-    sketch = make_sketch_udf(dim)
-    e = embeddings.select(
-        "vec_id", "embedding", _self_norm("embedding").alias("n2"), sketch("embedding").alias("sk")
-    ).persist()
-    bands = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.shiftright("sk", i * BITS_PER_BAND)
-                        .bitwiseAND(F.lit((1 << BITS_PER_BAND) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band_id", "bb.chunk")
+def lsh_candidates(
+    embeddings: DataFrame, dim: int = 64, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND
+) -> DataFrame:
+    """Distinct (vec_id, neighbor_id) candidate pairs from the band-chunk
+    bucket join (vec_id != neighbor_id, both directions kept for top-k)."""
+    ch = make_chunks_udf(dim, n_bands, bits)
+    bands = (
+        embeddings.select("vec_id", F.posexplode(ch("embedding")).alias("band_id", "chunk"))
+    )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -318,6 +333,21 @@ def cosine_topk_lsh(embeddings: DataFrame, k: int = 5, dim: int = 64) -> DataFra
         .select(F.col("a.vec_id").alias("vec_id"), F.col("b.vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-sketch band join -> exact re-rank of
+    candidates only.  Same output schema as the brute force; recall and
+    candidate-set size are gated in tests; the full pipeline (sketch bits
+    included) is replicated relationally by ``lsh_topk_oracle_sql``."""
+    cand = lsh_candidates(embeddings, dim, n_bands, bits)
+    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
     ea = e.select(F.col("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na"))
     eb = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
@@ -332,3 +362,41 @@ def cosine_topk_lsh(embeddings: DataFrame, k: int = 5, dim: int = 64) -> DataFra
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos")
     )
+
+
+def lsh_topk_oracle_sql(
+    planes_parquet: str, k: int = 5, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND
+) -> str:
+    """Full relational replication of the LSH pipeline for DuckDB: sign
+    bits against the fixture plane table, band chunks, bucket self-join,
+    exact cosine re-rank, top-k window — a differential oracle of the
+    operator's SEMANTICS (recall properties are gated separately in
+    pytest)."""
+    return f"""
+WITH bits AS (
+  SELECT v.vec_id, p.plane_id,
+         CASE WHEN list_dot_product(v.embedding::DOUBLE[], p.vec) > 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings v CROSS JOIN read_parquet('{planes_parquet}') p
+), chunks AS (
+  SELECT vec_id, plane_id // {bits} AS band_id,
+         sum(bit * (CAST(1 AS BIGINT) << (plane_id % {bits}))) AS chunk
+  FROM bits GROUP BY vec_id, plane_id // {bits}
+), cand AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
+  FROM chunks a JOIN chunks b
+    ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id <> b.vec_id
+), scored AS (
+  SELECT c.vec_id, c.neighbor_id,
+         round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])
+                      * list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])), 6) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_id
+  JOIN embeddings eb ON eb.vec_id = c.neighbor_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, cos
+FROM ranked WHERE rank <= {k}
+"""

@@ -687,6 +687,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
+    "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
+        "butterfly_osm_spark.operators.ann", fromlist=["x"]
+    ).lsh_topk_oracle_sql(f"{_oracle_fix(sf)}/lsh_planes.parquet"),
     "embedding_neardup": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),
