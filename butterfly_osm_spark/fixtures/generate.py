@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "8"
+FIXTURE_VERSION = "9"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -450,9 +450,15 @@ def _gen_query_points(rng: np.random.Generator, n_q: int, node_lon: np.ndarray, 
 
 
 def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
+    """Returns (tiles, cells): the encoded .hgt-style binary tiles AND the
+    same grids as a relational (tile, row, col, v) table. The cells table
+    is the DuckDB-side ground truth for the bilinear oracles — it is
+    written from the pre-encode array, so the Spark decode of the
+    big-endian binary is verified end-to-end against it."""
     all_tiles = [(la, lo) for la in (49, 50, 51) for lo in (2, 3, 4, 5, 6)]
     skip = {(49, 2), (49, 6), (51, 6)}  # deterministic coverage gaps
     rows = []
+    cell_cols: dict[str, list] = {"tile_lat": [], "tile_lon": [], "row": [], "col": [], "v": []}
     for tlat, tlon in all_tiles:
         if (tlat, tlon) in skip:
             continue
@@ -464,8 +470,14 @@ def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
         voids = rng.random((side, side)) < 0.01
         grid[voids] = -32768
         rows.append((tlat, tlon, side, grid.astype(">i2").tobytes()))
+        rr, cc = np.meshgrid(np.arange(side), np.arange(side), indexing="ij")
+        cell_cols["tile_lat"].append(np.full(side * side, tlat, dtype=np.int32))
+        cell_cols["tile_lon"].append(np.full(side * side, tlon, dtype=np.int32))
+        cell_cols["row"].append(rr.ravel().astype(np.int32))
+        cell_cols["col"].append(cc.ravel().astype(np.int32))
+        cell_cols["v"].append(grid.ravel().astype(np.int32))
     t = list(zip(*rows))
-    return pa.table(
+    tiles = pa.table(
         {
             "tile_lat": pa.array(np.array(t[0], dtype=np.int32)),
             "tile_lon": pa.array(np.array(t[1], dtype=np.int32)),
@@ -473,6 +485,8 @@ def _gen_raster_tiles(rng: np.random.Generator, side: int = 121):
             "data": pa.array(list(t[3]), type=pa.binary()),
         }
     )
+    cells = pa.table({k: pa.array(np.concatenate(vs)) for k, vs in cell_cols.items()})
+    return tiles, cells
 
 
 # model speeds for observation synthesis — must mirror
@@ -620,7 +634,9 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "polygon_edges", edges)
 
     _write(out_dir, "query_points", _gen_query_points(streams["queries"], c["queries"], wn["node_lon"], wn["node_lat"]))
-    _write(out_dir, "raster_tiles", _gen_raster_tiles(streams["raster"]))
+    raster_tiles, raster_cells = _gen_raster_tiles(streams["raster"])
+    _write(out_dir, "raster_tiles", raster_tiles)
+    _write(out_dir, "raster_cells", raster_cells)
     _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
     n_traces = max(20, int(200 * float(sf) / 0.01))
     _write(out_dir, "traces", _gen_traces(np.random.default_rng([SEED, 7]), wn, n_traces))

@@ -17,9 +17,13 @@ Training-data-pipeline extensions (graft mandate). Design notes per op:
   array_union (JVM-side). With b=8,r=8 the collision curve is
   P(candidate) = 1-(1-j^8)^8: j=0.9 -> 0.98, j=0.5 -> 0.031 — right for
   the 0.5 threshold. Only the verified-exact filter defines the output.
-- ``simhash64``: 64-bit sign-aggregated word-hash fingerprint; near-dup
+- ``simhash64``: sign-aggregated word-hash fingerprint; near-dup
   pairs via 4x16-bit band join + popcount(xor) <= maxham (pigeonhole:
-  hamming <= 3 guarantees a matching band).
+  hamming <= 3 guarantees a matching band). Word hashes are md5-derived
+  (low 60 bits of the hex digest) so the ENTIRE pipeline — hash, bit
+  sign-sum, banding, hamming join — replicates relationally in DuckDB
+  as a differential oracle; swap in xxhash64 at scale if md5 cost shows
+  (hash choice is orthogonal to the operator).
 """
 
 from __future__ import annotations
@@ -130,7 +134,13 @@ _M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 # Python only mixes/aggregates fixed-width ints, fully vectorized. This is
 # the "no per-row Python" discipline of the input_hint.
 _HASH_SHINGLES = "transform(shingles, s -> xxhash64(s))"
-_HASH_WORDS = "transform(split(trim(text), ' '), w -> xxhash64(w))"
+# md5-derived 60-bit word hash: identical in Spark (conv of the hex
+# digest prefix) and DuckDB (CAST('0x'||substr(md5(w),1,15) AS BIGINT)),
+# verified value-exact — the price of a SQL-replicable simhash oracle
+_HASH_WORDS = (
+    "transform(split(trim(text), ' '), "
+    "w -> cast(conv(substring(md5(cast(w as binary)), 1, 15), 16, 10) as bigint))"
+)
 
 
 def _splitmix(z: np.ndarray) -> np.ndarray:
@@ -273,3 +283,33 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Full relational replication of the simhash pipeline for DuckDB:
+    md5-derived 60-bit word hashes, per-bit sign sums, 4x16-bit band
+    self-join, popcount(xor) threshold — a differential oracle of the
+    operator's exact output."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), wh AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h FROM words
+), bitsum AS (
+  SELECT doc_id, b AS bit_pos,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh, unnest(generate_series(0, 59)) AS t(b)
+  GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit_pos) ELSE 0 END) AS sim
+  FROM bitsum GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, sim, k AS band_id, (sim >> (16 * k)) & 65535 AS chunk
+  FROM sim, unnest(generate_series(0, 3)) AS t(k)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""

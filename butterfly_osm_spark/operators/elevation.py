@@ -75,7 +75,12 @@ def dem_sample(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
         fx = (pts_pdf["lon_e7"].to_numpy(np.float64) / E7) - tlon
         fy = (pts_pdf["lat_e7"].to_numpy(np.float64) / E7) - tlat
         v = bilinear_np(data, side, fx, fy)
-        return pd.DataFrame({"query_id": pts_pdf["query_id"].to_numpy(), "elev_m": np.round(v, 3)})
+        # round-half-up via floor(x*1000+0.5): mode-free, so the SQL oracle
+        # (same expression) agrees even on exact .0005 boundaries where
+        # np.round (half-even) and SQL round (half-up) diverge
+        return pd.DataFrame(
+            {"query_id": pts_pdf["query_id"].to_numpy(), "elev_m": np.floor(v * 1000.0 + 0.5) / 1000.0}
+        )
 
     return (
         pts.groupBy("tile_lat", "tile_lon")
@@ -207,6 +212,139 @@ def dem_coverage(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
     return pts.join(
         raster_tiles.select("tile_lat", "tile_lon"), ["tile_lat", "tile_lon"], "left_semi"
     ).select("query_id", "tile_lat", "tile_lon")
+
+
+def _bilinear_ctes(fix: str, pts_cte: str = "pts") -> str:
+    """SQL CTE chain computing ``elev(query_id, elev_m)`` by bilinear
+    interpolation over the ``raster_cells`` fixture (the pre-encode
+    ground-truth grid — so the Spark binary decode is differentially
+    verified). Expression order mirrors bilinear_np exactly."""
+    return f"""
+_p AS (
+  SELECT query_id, lon_e7, lat_e7,
+         CAST(floor(CAST(lat_e7 AS DOUBLE) / 10000000.0) AS INT) AS tlat,
+         CAST(floor(CAST(lon_e7 AS DOUBLE) / 10000000.0) AS INT) AS tlon
+  FROM {pts_cte}
+), _pj AS (
+  SELECT p.*, t.samples_per_side AS side
+  FROM _p p LEFT JOIN read_parquet('{fix}/raster_tiles.parquet') t
+    ON t.tile_lat = p.tlat AND t.tile_lon = p.tlon
+), _c AS (
+  SELECT query_id, tlat, tlon, side,
+         (CAST(lon_e7 AS DOUBLE) / 10000000.0 - tlon) * (side - 1) AS x,
+         (1.0 - (CAST(lat_e7 AS DOUBLE) / 10000000.0 - tlat)) * (side - 1) AS y
+  FROM _pj WHERE side IS NOT NULL
+), _i AS (
+  SELECT query_id, tlat, tlon, side, x, y,
+         least(greatest(CAST(floor(x) AS BIGINT), 0), side - 2) AS x0,
+         least(greatest(CAST(floor(y) AS BIGINT), 0), side - 2) AS y0
+  FROM _c
+), elev AS (
+  SELECT i.query_id,
+         CASE WHEN q00.v = -32768 OR q01.v = -32768 OR q10.v = -32768 OR q11.v = -32768
+              THEN NULL
+              ELSE floor((CAST(q00.v AS DOUBLE) * (1 - (x - x0)) * (1 - (y - y0))
+                        + CAST(q01.v AS DOUBLE) * (x - x0) * (1 - (y - y0))
+                        + CAST(q10.v AS DOUBLE) * (1 - (x - x0)) * (y - y0)
+                        + CAST(q11.v AS DOUBLE) * (x - x0) * (y - y0)) * 1000.0 + 0.5) / 1000.0
+         END AS elev_m
+  FROM _i i
+  JOIN read_parquet('{fix}/raster_cells.parquet') q00
+    ON q00.tile_lat = i.tlat AND q00.tile_lon = i.tlon AND q00."row" = i.y0 AND q00."col" = i.x0
+  JOIN read_parquet('{fix}/raster_cells.parquet') q01
+    ON q01.tile_lat = i.tlat AND q01.tile_lon = i.tlon AND q01."row" = i.y0 AND q01."col" = i.x0 + 1
+  JOIN read_parquet('{fix}/raster_cells.parquet') q10
+    ON q10.tile_lat = i.tlat AND q10.tile_lon = i.tlon AND q10."row" = i.y0 + 1 AND q10."col" = i.x0
+  JOIN read_parquet('{fix}/raster_cells.parquet') q11
+    ON q11.tile_lat = i.tlat AND q11.tile_lon = i.tlon AND q11."row" = i.y0 + 1 AND q11."col" = i.x0 + 1
+  UNION ALL
+  SELECT query_id, NULL AS elev_m FROM _pj WHERE side IS NULL
+)"""
+
+
+def dem_sample_oracle_sql(fix: str, point_table: str = "query_points") -> str:
+    return f"""
+WITH pts AS (
+  SELECT query_id, lon_e7, lat_e7 FROM read_parquet('{fix}/{point_table}.parquet')
+), {_bilinear_ctes(fix)}
+SELECT query_id, coalesce(elev_m, -32768.0) AS elev_m FROM elev
+"""
+
+
+def elev_frontier_oracle_sql(fix: str, threshold_m: float = 250.0) -> str:
+    t = float(threshold_m)
+    return f"""
+WITH pts AS (
+  SELECT CAST(id AS VARCHAR) AS query_id, lon_e7, lat_e7
+  FROM read_parquet('{fix}/osm_nodes.parquet')
+), {_bilinear_ctes(fix)},
+wv AS (
+  SELECT w.way_id, w.seq, n.lon_e7, n.lat_e7, e.elev_m
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+  JOIN elev e ON e.query_id = CAST(n.id AS VARCHAR)
+), pairs AS (
+  SELECT way_id, CAST(seq AS INT) AS seq, lon_e7, lat_e7, elev_m,
+         lead(lon_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlon,
+         lead(lat_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlat,
+         lead(elev_m) OVER (PARTITION BY way_id ORDER BY seq) AS nelev
+  FROM wv
+)
+SELECT way_id, seq,
+       round(({t!r} - elev_m) / (nelev - elev_m), 6) AS cut_frac,
+       round(lon_e7 + (nlon - lon_e7) * (({t!r} - elev_m) / (nelev - elev_m)), 2) AS cut_lon,
+       round(lat_e7 + (nlat - lat_e7) * (({t!r} - elev_m) / (nelev - elev_m)), 2) AS cut_lat
+FROM pairs
+WHERE nlon IS NOT NULL AND elev_m IS NOT NULL AND nelev IS NOT NULL
+  AND ((elev_m < {t!r}) <> (nelev < {t!r}))
+"""
+
+
+def elev_profile_oracle_sql(fix: str, interval_m: float = 100.0) -> str:
+    from ..geo import haversine_m_sql
+
+    hv = haversine_m_sql("lon_e7", "lat_e7", "nlon", "nlat")
+    iv = float(interval_m)
+    return f"""
+WITH wv AS (
+  SELECT w.way_id, w.seq, n.lon_e7, n.lat_e7
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), pr AS (
+  SELECT way_id, seq, lon_e7, lat_e7,
+         lead(lon_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlon,
+         lead(lat_e7) OVER (PARTITION BY way_id ORDER BY seq) AS nlat
+  FROM wv
+), seg AS (
+  SELECT *, {hv} AS seg_m FROM pr WHERE nlon IS NOT NULL
+), seg2 AS (
+  SELECT *, coalesce(sum(seg_m) OVER (PARTITION BY way_id ORDER BY seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before
+  FROM seg
+), totals AS (
+  SELECT way_id, sum(seg_m) AS total FROM seg GROUP BY way_id
+), arcs AS (
+  SELECT way_id, k, k * {iv!r} AS arc_m
+  FROM totals, unnest(generate_series(0, CAST(floor(total / {iv!r}) AS INT))) AS t(k)
+), hit AS (
+  SELECT a.way_id, a.k, s.lon_e7, s.lat_e7, s.nlon, s.nlat,
+         (a.arc_m - s.cum_before) / s.seg_m AS frac
+  FROM arcs a JOIN seg2 s ON a.way_id = s.way_id
+   AND s.cum_before <= a.arc_m AND a.arc_m < s.cum_before + s.seg_m
+), ppts AS (
+  SELECT way_id, k,
+         CAST(round(lon_e7 + (nlon - lon_e7) * frac) AS INT) AS lon_e7,
+         CAST(round(lat_e7 + (nlat - lat_e7) * frac) AS INT) AS lat_e7
+  FROM hit
+), pts AS (
+  SELECT CAST(way_id AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS query_id, lon_e7, lat_e7
+  FROM ppts
+), {_bilinear_ctes(fix)}
+SELECT p.way_id, CAST(p.k AS INT) AS k, p.lon_e7, p.lat_e7,
+       coalesce(e.elev_m, -32768.0) AS elev_m
+FROM ppts p JOIN elev e
+  ON e.query_id = CAST(p.way_id AS VARCHAR) || '#' || CAST(p.k AS VARCHAR)
+"""
 
 
 def dem_coverage_oracle_sql(fix: str) -> str:

@@ -557,10 +557,12 @@ def q_elev_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.elevation import elevation_profile
 
     fix = _fix(sf_dir)
-    return elevation_profile(
-        _read(spark, fix, "way_nodes"),
-        _read(spark, fix, "osm_nodes"),
-        _read(spark, fix, "raster_tiles"),
+    return _void_sentinel(
+        elevation_profile(
+            _read(spark, fix, "way_nodes"),
+            _read(spark, fix, "osm_nodes"),
+            _read(spark, fix, "raster_tiles"),
+        )
     )
 
 
@@ -592,11 +594,24 @@ def q_elev_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _void_sentinel(df: DataFrame) -> DataFrame:
+    """NULL/NaN elevations (voids, uncovered tiles) -> -32768.0 (the .hgt
+    void marker) so the driver's stringified compare is unambiguous
+    across engines (pandas turns SQL NULL into NaN)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "elev_m", F.coalesce(F.nanvl(F.col("elev_m"), F.lit(-32768.0)), F.lit(-32768.0))
+    )
+
+
 def q_dem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.elevation import dem_sample
 
     fix = _fix(sf_dir)
-    return dem_sample(_read(spark, fix, "query_points"), _read(spark, fix, "raster_tiles"))
+    return _void_sentinel(
+        dem_sample(_read(spark, fix, "query_points"), _read(spark, fix, "raster_tiles"))
+    )
 
 
 def q_dem_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +625,24 @@ def sql_dem_coverage(sf: str = ORACLE_SF) -> str:
     from .operators.elevation import dem_coverage_oracle_sql
 
     return dem_coverage_oracle_sql(_oracle_fix(sf))
+
+
+def sql_dem_sample(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import dem_sample_oracle_sql
+
+    return dem_sample_oracle_sql(_oracle_fix(sf))
+
+
+def sql_elev_frontier(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import elev_frontier_oracle_sql
+
+    return elev_frontier_oracle_sql(_oracle_fix(sf))
+
+
+def sql_elev_profile(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import elev_profile_oracle_sql
+
+    return elev_profile_oracle_sql(_oracle_fix(sf))
 
 
 # ---------------------------------------------------------------------------
@@ -686,6 +719,16 @@ ORACLES: dict[str, Callable[..., str]] = {
     "fingerprint": lambda sf=ORACLE_SF: _sql_text("fingerprint"),
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
+    # minhash_lsh output = exact-verified candidates; with 8x8 banding the
+    # candidate set has full recall at j>=0.5 on this data, so the exact
+    # n-gram Jaccard SQL doubles as a RECALL gate: a red row here means
+    # the LSH stage started missing true pairs.
+    "minhash_lsh": lambda sf=ORACLE_SF: __import__(
+        "butterfly_osm_spark.operators.dedup", fromlist=["x"]
+    ).ngram_jaccard_oracle_sql(JACCARD_T),
+    "simhash_pairs": lambda sf=ORACLE_SF: __import__(
+        "butterfly_osm_spark.operators.dedup", fromlist=["x"]
+    ).simhash_oracle_sql(),
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
     "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
@@ -698,6 +741,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
     "dem_coverage": sql_dem_coverage,
+    "dem_sample": sql_dem_sample,
+    "elev_frontier": sql_elev_frontier,
+    "elev_profile": sql_elev_profile,
     "same_way_matrix": sql_same_way_matrix,
     "bbox_agg": sql_bbox_agg,
 }
