@@ -235,6 +235,75 @@ def convex_hull(
     return pts.groupBy("query_id").applyInPandas(hull, schema=_HULL_SCHEMA)
 
 
+def convex_hull_oracle_sql(fix: str, radius_m: float = CATCH_RADIUS_M) -> str:
+    """Differential SQL oracle for the monotone-chain hull: a point pair
+    (a,b) is a hull edge iff every other candidate lies strictly left of
+    a->b, or on the segment strictly between them (exact BIGINT
+    cross/dot products — matches the chain's `cross <= 0` pop, which
+    drops collinear mid-edge points). Hull vertices = edge endpoints;
+    CCW seq recovered by angle around the vertex centroid starting from
+    the lexicographically smallest vertex (identical to Andrew's
+    lower-then-upper order for a strictly convex result)."""
+    d2 = equirect_d2_sql("q.lon_e7", "q.lat_e7", "p.lon_e7", "p.lat_e7")
+    from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON
+
+    dlon = int(radius_m / M_PER_DEG_LON * 1e7)
+    dlat = int(radius_m / M_PER_DEG_LAT * 1e7)
+    cross = (
+        "(CAST(b.x - a.x AS BIGINT) * (p.y - a.y) - CAST(b.y - a.y AS BIGINT) * (p.x - a.x))"
+    )
+    dot = "(CAST(p.x - a.x AS BIGINT) * (b.x - a.x) + CAST(p.y - a.y AS BIGINT) * (b.y - a.y))"
+    len2 = "(CAST(b.x - a.x AS BIGINT) * (b.x - a.x) + CAST(b.y - a.y AS BIGINT) * (b.y - a.y))"
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT q.query_id, p.lon_e7 AS x, p.lat_e7 AS y
+  FROM read_parquet('{fix}/query_points.parquet') q
+  JOIN read_parquet('{fix}/image_geo.parquet') p
+    ON p.lon_e7 BETWEEN q.lon_e7 - {dlon} AND q.lon_e7 + {dlon}
+   AND p.lat_e7 BETWEEN q.lat_e7 - {dlat} AND q.lat_e7 + {dlat}
+  WHERE {d2} <= {radius_m * radius_m!r}
+), nn AS (
+  SELECT query_id, count(*) AS n FROM cand GROUP BY query_id
+), small AS (
+  SELECT c.query_id,
+         CAST(row_number() OVER (PARTITION BY c.query_id ORDER BY c.x, c.y) - 1 AS INT) AS seq,
+         c.x AS lon_e7, c.y AS lat_e7
+  FROM cand c JOIN nn USING (query_id) WHERE nn.n <= 2
+), edges AS (
+  SELECT a.query_id, a.x AS ax, a.y AS ay
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND (a.x <> b.x OR a.y <> b.y)
+  JOIN nn ON nn.query_id = a.query_id AND nn.n >= 3
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand p
+    WHERE p.query_id = a.query_id
+      AND (p.x <> a.x OR p.y <> a.y) AND (p.x <> b.x OR p.y <> b.y)
+      AND NOT ({cross} > 0
+               OR ({cross} = 0 AND {dot} > 0 AND {dot} < {len2}))
+  )
+), hv AS (
+  SELECT DISTINCT query_id, ax AS x, ay AS y FROM edges
+), cent AS (
+  SELECT query_id, avg(CAST(x AS DOUBLE)) AS cx, avg(CAST(y AS DOUBLE)) AS cy
+  FROM hv GROUP BY query_id
+), ang AS (
+  SELECT hv.query_id, hv.x, hv.y, atan2(hv.y - c.cy, hv.x - c.cx) AS th
+  FROM hv JOIN cent c USING (query_id)
+), th0 AS (
+  SELECT query_id, th AS th0 FROM (
+    SELECT query_id, th, row_number() OVER (PARTITION BY query_id ORDER BY x, y) AS rn
+    FROM ang) WHERE rn = 1
+), big AS (
+  SELECT a.query_id,
+         CAST(row_number() OVER (PARTITION BY a.query_id
+              ORDER BY CASE WHEN a.th - t.th0 < 0 THEN a.th - t.th0 + 2 * pi()
+                            ELSE a.th - t.th0 END) - 1 AS INT) AS seq,
+         a.x AS lon_e7, a.y AS lat_e7
+  FROM ang a JOIN th0 t USING (query_id)
+)
+SELECT * FROM small UNION ALL SELECT * FROM big
+"""
+
+
 # ---------------------------------------------------------------------------
 # A11: sample-weighted median speed ratio per density class (calibrate.rs)
 # ---------------------------------------------------------------------------

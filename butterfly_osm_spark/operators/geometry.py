@@ -214,13 +214,24 @@ def canonical_hash(polygons: DataFrame) -> DataFrame:
     return ring.select("polygon_id", _canon_udf("lons", "lats").alias("canon_key"))
 
 
+def _e7_decimal_expr(v: str) -> str:
+    """Fixed 7-decimal string built from the e7 integer with pure string
+    math — no float formatting, so Spark and DuckDB (and any engine)
+    produce byte-identical output."""
+    return (
+        f"concat(CASE WHEN {v} < 0 THEN '-' ELSE '' END, "
+        f"CAST(abs({v}) div 10000000 AS STRING), '.', "
+        f"lpad(CAST(abs({v}) % 10000000 AS STRING), 7, '0'))"
+    )
+
+
 def geojson_sink(polygons: DataFrame) -> DataFrame:
     """(polygon_id, geojson): Polygon geometry JSON built from pure Column
-    expressions — closed ring, 7-dp coordinates, no UDF."""
-    coord = (
-        "transform(ring, v -> concat('[', format_number(v.lon_e7 / 10000000.0, '0.#######'), "
-        "',', format_number(v.lat_e7 / 10000000.0, '0.#######'), ']'))"
-    )
+    expressions — closed ring, fixed 7-dp coordinates derived from the e7
+    integers (integer string math, no float formatting), no UDF."""
+    lon = _e7_decimal_expr("v.lon_e7")
+    lat = _e7_decimal_expr("v.lat_e7")
+    coord = f"transform(ring, v -> concat('[', {lon}, ',', {lat}, ']'))"
     closed = f"concat(array_join({coord}, ','), ',', element_at({coord}, 1))"
     return polygons.select(
         "polygon_id",
@@ -228,6 +239,125 @@ def geojson_sink(polygons: DataFrame) -> DataFrame:
             f"concat('{{\"type\":\"Polygon\",\"coordinates\":[[', {closed}, ']]}}')"
         ).alias("geojson"),
     )
+
+
+def geojson_oracle_sql(fix: str) -> str:
+    """DuckDB replication of the GeoJSON sink from the normalized
+    polygon_edges table (vertex i = (x1, y1) of edge seq=i, ring closed
+    by appending vertex 0) — same integer-derived decimal formatting."""
+
+    def dec(v: str) -> str:
+        return (
+            f"(CASE WHEN {v} < 0 THEN '-' ELSE '' END || "
+            f"CAST(abs({v}) // 10000000 AS VARCHAR) || '.' || "
+            f"lpad(CAST(abs({v}) % 10000000 AS VARCHAR), 7, '0'))"
+        )
+
+    c = f"'[' || {dec('x1')} || ',' || {dec('y1')} || ']'"
+    return f"""
+WITH v AS (
+  SELECT polygon_id, seq, {c} AS coord
+  FROM read_parquet('{fix}/polygon_edges.parquet')
+), body AS (
+  SELECT polygon_id,
+         string_agg(coord, ',' ORDER BY seq) || ',' ||
+         min(CASE WHEN seq = 0 THEN coord END) AS ring_str
+  FROM v GROUP BY polygon_id
+)
+SELECT polygon_id,
+       '{{"type":"Polygon","coordinates":[[' || ring_str || ']]}}' AS geojson
+FROM body
+"""
+
+
+def polyline6_oracle_sql(fix: str) -> str:
+    """DuckDB replication of the polyline6 encoder: 1e-6 quantisation
+    (round-half-away on the e7 ints), per-point lat/lon deltas vs the
+    previous QUANTISED point, zigzag, 5-bit varint chunks, chr(+63).
+    Chunk count k is a CASE ladder (deltas here fit 7 chunks)."""
+    return f"""
+WITH wv AS (
+  SELECT w.way_id, w.seq,
+         CAST(floor((n.lat_e7 + CASE WHEN n.lat_e7 >= 0 THEN 5 ELSE -5 END) / 10.0) AS BIGINT) AS qla,
+         CAST(floor((n.lon_e7 + CASE WHEN n.lon_e7 >= 0 THEN 5 ELSE -5 END) / 10.0) AS BIGINT) AS qlo
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), deltas AS (
+  SELECT way_id, seq, 0 AS ci,
+         qla - coalesce(lag(qla) OVER (PARTITION BY way_id ORDER BY seq), 0) AS d
+  FROM wv
+  UNION ALL
+  SELECT way_id, seq, 1 AS ci,
+         qlo - coalesce(lag(qlo) OVER (PARTITION BY way_id ORDER BY seq), 0) AS d
+  FROM wv
+), zz AS (
+  SELECT way_id, seq, ci,
+         CASE WHEN d < 0 THEN -2 * d - 1 ELSE 2 * d END AS v
+  FROM deltas
+), sized AS (
+  SELECT *, CASE WHEN v < 32 THEN 1 WHEN v < 1024 THEN 2 WHEN v < 32768 THEN 3
+                 WHEN v < 1048576 THEN 4 WHEN v < 33554432 THEN 5
+                 WHEN v < 1073741824 THEN 6 ELSE 7 END AS k
+  FROM zz
+), ch AS (
+  SELECT way_id, seq, ci, i,
+         chr(CAST((v >> (5 * i)) & 31 AS INT) + 63
+             + CASE WHEN i < k - 1 THEN 32 ELSE 0 END) AS c
+  FROM sized, unnest(generate_series(0, k - 1)) AS t(i)
+)
+SELECT way_id, string_agg(c, '' ORDER BY seq, ci, i) AS polyline6
+FROM ch GROUP BY way_id
+"""
+
+
+def canonical_hash_oracle_sql(fix: str) -> str:
+    """Differential oracle for the Booth canonical key: instead of
+    Booth's O(n) scan, enumerate ALL rotations of the quantised ring and
+    take the lexicographically minimal one (same result by definition,
+    different algorithm), then md5 the identical python-repr rendering
+    '[(x, y), ...]'."""
+    return f"""
+WITH q AS (
+  SELECT polygon_id, seq,
+         CAST(floor((x1 + CASE WHEN x1 >= 0 THEN 5 ELSE -5 END) / 10.0) AS BIGINT) AS qx,
+         CAST(floor((y1 + CASE WHEN y1 >= 0 THEN 5 ELSE -5 END) / 10.0) AS BIGINT) AS qy
+  FROM read_parquet('{fix}/polygon_edges.parquet')
+), n AS (
+  SELECT polygon_id, count(*) AS n,
+         min(CASE WHEN seq = 0 THEN qx END) AS fx,
+         min(CASE WHEN seq = 0 THEN qy END) AS fy,
+         max(CASE WHEN seq = (SELECT max(seq) FROM q q2 WHERE q2.polygon_id = q.polygon_id)
+                  THEN qx END) AS lx,
+         max(CASE WHEN seq = (SELECT max(seq) FROM q q2 WHERE q2.polygon_id = q.polygon_id)
+                  THEN qy END) AS ly
+  FROM q GROUP BY polygon_id
+), trimmed AS (
+  -- drop the duplicate closing vertex if quantisation collapsed it
+  SELECT q.polygon_id, q.seq, q.qx, q.qy
+  FROM q JOIN n USING (polygon_id)
+  WHERE NOT (n.n > 1 AND n.fx = n.lx AND n.fy = n.ly AND q.seq = n.n - 1)
+), tn AS (
+  SELECT polygon_id, count(*) AS m FROM trimmed GROUP BY polygon_id
+), rot AS (
+  -- skey zero-pads each coordinate to 12 chars so string comparison of
+  -- rotations equals tuple-sequence comparison (Booth's ordering)
+  -- regardless of digit widths; s is the exact python-repr rendering
+  SELECT t.polygon_id, r.r,
+         string_agg('(' || t.qx || ', ' || t.qy || ')', ', '
+                    ORDER BY (t.seq - r.r + tn.m) % tn.m) AS s,
+         string_agg(lpad(CAST(t.qx AS VARCHAR), 12, '0') ||
+                    lpad(CAST(t.qy AS VARCHAR), 12, '0'), ''
+                    ORDER BY (t.seq - r.r + tn.m) % tn.m) AS skey
+  FROM trimmed t
+  JOIN tn ON tn.polygon_id = t.polygon_id
+  JOIN (SELECT DISTINCT polygon_id, seq AS r FROM trimmed) r
+    ON r.polygon_id = t.polygon_id
+  GROUP BY t.polygon_id, r.r
+), best AS (
+  SELECT polygon_id, arg_min(s, skey) AS s FROM rot GROUP BY polygon_id
+)
+SELECT polygon_id, md5('[' || s || ']') AS canon_key FROM best
+"""
 
 
 def interpolate_midpoint(way_nodes: DataFrame, nodes: DataFrame, frac: float = 0.5) -> DataFrame:

@@ -268,6 +268,12 @@ def q_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convex_hull(_read(spark, fix, "query_points"), _read(spark, fix, "image_geo"))
 
 
+def sql_convex_hull(sf: str = ORACLE_SF) -> str:
+    from .operators.aggregates import convex_hull_oracle_sql
+
+    return convex_hull_oracle_sql(_oracle_fix(sf))
+
+
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.aggregates import weighted_median_ratio
 
@@ -426,6 +432,24 @@ def sql_wkb_sink(sf: str = ORACLE_SF) -> str:
     from .operators.geometry import wkb_sink_oracle_sql
 
     return wkb_sink_oracle_sql(_oracle_fix(sf))
+
+
+def sql_geojson_sink(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import geojson_oracle_sql
+
+    return geojson_oracle_sql(_oracle_fix(sf))
+
+
+def sql_way_polyline6(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import polyline6_oracle_sql
+
+    return polyline6_oracle_sql(_oracle_fix(sf))
+
+
+def sql_canonical_hash(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import canonical_hash_oracle_sql
+
+    return canonical_hash_oracle_sql(_oracle_fix(sf))
 
 
 def q_geojson_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,6 +734,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "sector_lasso": sql_sector_lasso,
     "percentile_threshold": sql_percentile_threshold,
     "knn_iqr": sql_knn_iqr,
+    "convex_hull": sql_convex_hull,
     "weighted_median": sql_weighted_median,
     "flow_accum": sql_flow_accum,
     "fuzzy_match": sql_fuzzy_match,
@@ -737,6 +762,9 @@ ORACLES: dict[str, Callable[..., str]] = {
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),
     "wkb_sink": sql_wkb_sink,
+    "geojson_sink": sql_geojson_sink,
+    "way_polyline6": sql_way_polyline6,
+    "canonical_hash": sql_canonical_hash,
     "interp_midpoint": sql_interp_midpoint,
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
