@@ -48,11 +48,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64
+from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "9"
+FIXTURE_VERSION = "11"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -304,6 +304,7 @@ def _gen_images(rng: np.random.Generator, n_geo: int):
     phashes: list[int] = []
     captions: list[str] = []
     donors: dict[int, np.ndarray] = {}
+    truth_rows: list[tuple] = []
     wl = np.array(WORDS)
     for i in range(n_bytes):
         d = int(dup_of[i])
@@ -321,12 +322,36 @@ def _gen_images(rng: np.random.Generator, n_geo: int):
         if fmts[i] == "png":
             blobs.append(encode_png(img))
             phashes.append(phash64(img))
+            decoded = img  # PNG is lossless: stored-blob decode must return this
         else:
             enc = encode_qnt(img, q=4)
             blobs.append(enc)
-            phashes.append(phash64(decode_qnt(enc)))
+            decoded = decode_qnt(enc)
+            phashes.append(phash64(decoded))
         nw = int(rng.integers(5, 21))
         captions.append(" ".join(wl[rng.integers(0, len(wl), nw)]))
+        # golden truth for the decode/resize oracles: stats of what a
+        # correct decode of the stored blob must yield (for PNG this is
+        # the PRE-encode array, so the Spark-side PNG decode is verified
+        # end-to-end), plus the md5 of the canonical 32x32 thumbnail.
+        import hashlib as _hashlib
+
+        from ..operators.images import _block_mean_resize
+
+        fdec = decoded.astype(np.float64)
+        _psnr = psnr_db(decoded, decode_qnt(encode_qnt(decoded, q=4)))
+        truth_rows.append(
+            (
+                ids[i],
+                int(decoded.shape[1]),
+                int(decoded.shape[0]),
+                round(float(fdec.mean()), 3),
+                round(float(fdec.std()), 3),
+                round(float((decoded < 64).mean()), 6),
+                round(min(_psnr, 99.0), 3),
+                _hashlib.md5(encode_png(_block_mean_resize(decoded, 32))).hexdigest(),
+            )
+        )
     images = pa.table(
         {
             "image_id": pa.array(ids[:n_bytes]),
@@ -345,7 +370,20 @@ def _gen_images(rng: np.random.Generator, n_geo: int):
             "lat_e7": pa.array(lat_e7),
         }
     )
-    return images, geo
+    tcols = list(zip(*truth_rows))
+    truth = pa.table(
+        {
+            "image_id": pa.array(list(tcols[0])),
+            "w": pa.array(np.array(tcols[1], dtype=np.int32)),
+            "h": pa.array(np.array(tcols[2], dtype=np.int32)),
+            "mean": pa.array(np.array(tcols[3], dtype=np.float64)),
+            "std": pa.array(np.array(tcols[4], dtype=np.float64)),
+            "p_dark": pa.array(np.array(tcols[5], dtype=np.float64)),
+            "lossy_psnr_db": pa.array(np.array(tcols[6], dtype=np.float64)),
+            "thumb_md5": pa.array(list(tcols[7])),
+        }
+    )
+    return images, geo, truth
 
 
 # ---------------------------------------------------------------------------
@@ -363,8 +401,94 @@ def _wkb_polygon(lon_e7: np.ndarray, lat_e7: np.ndarray) -> bytes:
     return b"".join(out)
 
 
+def _contour_reference(pids, polys_xy):
+    """Single-threaded reference run of the sparse-contour pipeline
+    (stamp -> balanced close(2) -> Moore trace -> anchored flag -> DP
+    simplify) producing the contour_truth + polygon_pixel_edges goldens.
+    Same kernels as operators/raster.py, executed without Spark — the
+    driver's oracle row then verifies the DISTRIBUTED run (mapInPandas
+    batching, bit_or word merges, cogrouped gather) reproduces it."""
+    from ..geo import mercator_np
+    from ..operators.raster import (
+        T as _T,
+    )
+    from ..operators.raster import (
+        _bresenham_cells,
+        _dilate3_np,
+        _dp_simplify,
+        _erode3_np,
+        _ring_contains,
+        _trace_one,
+    )
+
+    cell_m, pad, tol = 50.0, 2, 1.5
+    pix_rows: list[tuple] = []
+    truth_rows: list[tuple] = []
+    for pid, (x, y) in zip(pids, polys_xy):
+        mx, my = mercator_np(x, y)
+        px = np.floor(mx / cell_m).astype(np.int64)
+        py = np.floor(my / cell_m).astype(np.int64)
+        qx, qy = np.roll(px, -1), np.roll(py, -1)
+        for i in range(len(px)):
+            pix_rows.append((pid, i, int(px[i]), int(py[i]), int(qx[i]), int(qy[i])))
+        cx, cy = _bresenham_cells(px, py, qx, qy)
+        x0t, y0t = int(cx.min()) >> 6, int(cy.min()) >> 6
+        x1t, y1t = int(cx.max()) >> 6, int(cy.max()) >> 6
+        W = (x1t - x0t + 1) * _T + 2 * pad
+        H = (y1t - y0t + 1) * _T + 2 * pad
+        grid = np.zeros((H, W), dtype=bool)
+        grid[cy - y0t * _T + pad, cx - x0t * _T + pad] = True
+        for _ in range(pad):
+            grid = _dilate3_np(grid)
+        for _ in range(pad):
+            grid = _erode3_np(grid)
+        amx, amy = mercator_np(
+            np.array([float(x.mean())]), np.array([float(y.mean())])
+        )
+        ax = float(amx[0]) / cell_m - x0t * _T + pad
+        ay = float(amy[0]) / cell_m - y0t * _T + pad
+        for ring_id, ring in enumerate(_trace_one(grid)):
+            flag = _ring_contains(ring, ay, ax)
+            ring = _dp_simplify(ring, tol)
+            for seq, (ry, rx) in enumerate(ring):
+                truth_rows.append(
+                    (
+                        pid,
+                        ring_id,
+                        seq,
+                        round((x0t * _T + rx - pad + 0.5) * cell_m, 3),
+                        round((y0t * _T + ry - pad + 0.5) * cell_m, 3),
+                        bool(flag),
+                    )
+                )
+    p = list(zip(*pix_rows))
+    pixel_edges = pa.table(
+        {
+            "region_id": pa.array(list(p[0])),
+            "seq": pa.array(np.array(p[1], dtype=np.int32)),
+            "px1": pa.array(np.array(p[2], dtype=np.int64)),
+            "py1": pa.array(np.array(p[3], dtype=np.int64)),
+            "px2": pa.array(np.array(p[4], dtype=np.int64)),
+            "py2": pa.array(np.array(p[5], dtype=np.int64)),
+        }
+    )
+    t = list(zip(*truth_rows))
+    contour_truth = pa.table(
+        {
+            "region_id": pa.array(list(t[0])),
+            "ring_id": pa.array(np.array(t[1], dtype=np.int32)),
+            "seq": pa.array(np.array(t[2], dtype=np.int32)),
+            "mx": pa.array(np.array(t[3], dtype=np.float64)),
+            "my": pa.array(np.array(t[4], dtype=np.float64)),
+            "anchored": pa.array(list(t[5]), type=pa.bool_()),
+        }
+    )
+    return pixel_edges, contour_truth
+
+
 def _gen_polygons(rng: np.random.Generator, n_poly: int):
     pids, rings, wkbs, edge_rows = [], [], [], []
+    polys_xy: list[tuple[np.ndarray, np.ndarray]] = []
     cx_all, cy_all = _clustered_points(rng, n_poly, 0.7, 0.12)
     for p in range(n_poly):
         pid = f"poly{p:05d}"
@@ -380,6 +504,7 @@ def _gen_polygons(rng: np.random.Generator, n_poly: int):
         if keep.sum() >= 3 and (x[keep][0] != x[keep][-1] or y[keep][0] != y[keep][-1]):
             x, y = x[keep], y[keep]
         pids.append(pid)
+        polys_xy.append((x, y))
         rings.append([{"lon_e7": int(a), "lat_e7": int(b)} for a, b in zip(x, y)])
         wkbs.append(_wkb_polygon(x, y))
         n = len(x)
@@ -406,12 +531,52 @@ def _gen_polygons(rng: np.random.Generator, n_poly: int):
             "y2": pa.array(np.array(e[5], dtype=np.int32)),
         }
     )
-    return polygons, edges
+    pixel_edges, contour_truth = _contour_reference(pids, polys_xy)
+    return polygons, edges, pixel_edges, contour_truth
 
 
 # ---------------------------------------------------------------------------
 # query points + raster tiles
 # ---------------------------------------------------------------------------
+
+
+def _tsp_reference(query_points: pa.Table, stops_per_trip: int = 12, max_stops: int = 100):
+    """Single-threaded reference run of the G6 TSP operator (md5-derived
+    trip grouping, NN + 2-opt per trip) — the tsp_truth golden. The
+    driver oracle row verifies the distributed groupBy/applyInPandas run
+    reproduces it row-for-row."""
+    import hashlib
+
+    from ..geo import E7 as _E7
+    from ..geo import M_PER_DEG_LAT as _MLAT
+    from ..geo import M_PER_DEG_LON as _MLON
+    from ..operators.trips import nn_tour, two_opt
+
+    qids = query_points.column("query_id").to_pylist()
+    lon = np.asarray(query_points.column("lon_e7").to_pylist(), dtype=np.float64)
+    lat = np.asarray(query_points.column("lat_e7").to_pylist(), dtype=np.float64)
+    n_trips = max(1, len(qids) // stops_per_trip)
+    trips: dict[int, list[int]] = {}
+    for i, q in enumerate(qids):
+        t = int(hashlib.md5(q.encode()).hexdigest()[:15], 16) % n_trips
+        trips.setdefault(t, []).append(i)
+    rows: list[tuple] = []
+    for t, idxs in trips.items():
+        idxs = sorted(idxs, key=lambda i: qids[i])[:max_stops]
+        x = lon[idxs] * _MLON / _E7
+        y = lat[idxs] * _MLAT / _E7
+        d = np.hypot(x[:, None] - x[None, :], y[:, None] - y[None, :])
+        tour = two_opt(nn_tour(d), d)
+        for seq, k in enumerate(tour):
+            rows.append((t, seq, qids[idxs[k]]))
+    r = list(zip(*rows))
+    return pa.table(
+        {
+            "trip_id": pa.array(np.array(r[0], dtype=np.int32)),
+            "stop_seq": pa.array(np.array(r[1], dtype=np.int32)),
+            "query_id": pa.array(list(r[2])),
+        }
+    )
 
 
 def _gen_query_points(rng: np.random.Generator, n_q: int, node_lon: np.ndarray, node_lat: np.ndarray):
@@ -625,15 +790,20 @@ def generate(sf: str, out_dir: str) -> None:
         ),
     )
 
-    images, geo = _gen_images(streams["images"], c["images"])
+    images, geo, image_truth = _gen_images(streams["images"], c["images"])
     _write(out_dir, "images", images)
     _write(out_dir, "image_geo", geo)
+    _write(out_dir, "image_truth", image_truth)
 
-    polygons, edges = _gen_polygons(streams["polygons"], c["polygons"])
+    polygons, edges, pixel_edges, contour_truth = _gen_polygons(streams["polygons"], c["polygons"])
     _write(out_dir, "polygons", polygons)
     _write(out_dir, "polygon_edges", edges)
+    _write(out_dir, "polygon_pixel_edges", pixel_edges)
+    _write(out_dir, "contour_truth", contour_truth)
 
-    _write(out_dir, "query_points", _gen_query_points(streams["queries"], c["queries"], wn["node_lon"], wn["node_lat"]))
+    qp = _gen_query_points(streams["queries"], c["queries"], wn["node_lon"], wn["node_lat"])
+    _write(out_dir, "query_points", qp)
+    _write(out_dir, "tsp_truth", _tsp_reference(qp))
     raster_tiles, raster_cells = _gen_raster_tiles(streams["raster"])
     _write(out_dir, "raster_tiles", raster_tiles)
     _write(out_dir, "raster_cells", raster_cells)

@@ -64,6 +64,25 @@ RING_SCHEMA = StructType(
     ]
 )
 
+from pyspark.sql.types import BooleanType  # noqa: E402
+
+ANCHORED_RING_SCHEMA = StructType(RING_SCHEMA.fields + [StructField("anchored", BooleanType())])
+
+
+def _ring_contains(ring_yx: np.ndarray, ay: float, ax: float) -> bool:
+    """Even-odd point-in-ring over the (row, col) vertex chain — the R5
+    anchored-component test (reference sparse_contour.rs:650-748 prefers
+    the ring containing the snapped origin; postdeploy gate asserts
+    'isochrone must contain its snapped origin')."""
+    y = ring_yx[:, 0].astype(np.float64)
+    x = ring_yx[:, 1].astype(np.float64)
+    y2 = np.roll(y, -1)
+    x2 = np.roll(x, -1)
+    cond = (y > ay) != (y2 > ay)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x) * (ay - y) / (y2 - y) + x
+    return bool((cond & (ax < xint)).sum() % 2)
+
 
 def _bresenham_cells(x0, y0, x1, y1) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized closed-form Bresenham over many segments.
@@ -218,6 +237,34 @@ def close_regions(tiles: DataFrame, rounds: int = 2) -> DataFrame:
     return erode(dilate(tiles, rounds), rounds)
 
 
+def stamp_oracle_sql(fix: str) -> str:
+    """Relational replication of the R1 stamp from the golden pixel-space
+    edge table: the same closed-form integer Bresenham
+    (round-half-away of t*d/steps in pure integer math), 64-bit word
+    packing (bit 63 via the signed-min constant — BIGINT << 63
+    overflows), and bit_or merge per (region, tile, word_idx)."""
+    return f"""
+WITH seg AS (
+  SELECT region_id, px1, py1, px2, py2,
+         greatest(abs(px2 - px1), abs(py2 - py1)) AS steps
+  FROM read_parquet('{fix}/polygon_pixel_edges.parquet')
+), cells AS (
+  SELECT region_id,
+         px1 + (CASE WHEN px2 >= px1 THEN 1 ELSE -1 END)
+             * ((2 * t * abs(px2 - px1) + steps) // (2 * greatest(steps, 1))) AS cx,
+         py1 + (CASE WHEN py2 >= py1 THEN 1 ELSE -1 END)
+             * ((2 * t * abs(py2 - py1) + steps) // (2 * greatest(steps, 1))) AS cy
+  FROM seg, unnest(generate_series(0, steps)) AS s(t)
+)
+SELECT region_id, (cx >> 6) AS tile_x, (cy >> 6) AS tile_y,
+       CAST(cy & 63 AS INT) AS word_idx,
+       bit_or(CASE WHEN (cx & 63) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                   ELSE (CAST(1 AS BIGINT) << CAST(cx & 63 AS INT)) END) AS word
+FROM cells
+GROUP BY region_id, (cx >> 6), (cy >> 6), (cy & 63)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Moore-neighbour boundary trace + Douglas-Peucker (per-region applyInPandas)
 # ---------------------------------------------------------------------------
@@ -334,6 +381,7 @@ def trace_contours(
     cell_m: float = 50.0,
     simplify_tol_cells: float = 1.5,
     close_rounds: int = 0,
+    anchors: DataFrame | None = None,
 ) -> DataFrame:
     """R4+R6+R9 (and optionally fused R2+R3): per-region boundary rings in
     Mercator metres.
@@ -348,12 +396,21 @@ def trace_contours(
     Output: (region_id, ring_id, seq, mx, my) — cell-centre emission
     (sparse_contour.rs:782-797), DP-simplified, deterministic ring and
     vertex order.
+
+    ``anchors`` (region_id, ax_m, ay_m in Mercator metres) enables R5
+    anchored-component selection (sparse_contour.rs:650-748): the output
+    gains an ``anchored`` flag — true for rings whose pre-simplify
+    boundary contains the region's anchor (even-odd). ALL rings are kept
+    (the all_components parity contract); consumers that want the
+    reference's prefer-origin semantics filter on the flag.
     """
     pad = close_rounds  # dilation can extend this many cells beyond stamps
+    with_anchor = anchors is not None
+    cols = ["region_id", "ring_id", "seq", "mx", "my"] + (["anchored"] if with_anchor else [])
 
-    def trace(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def trace_grid(key: tuple, pdf: pd.DataFrame, anchor: tuple | None) -> pd.DataFrame:
         if len(pdf) == 0:
-            return pd.DataFrame(columns=["region_id", "ring_id", "seq", "mx", "my"])
+            return pd.DataFrame(columns=cols)
         tx = pdf["tile_x"].to_numpy(np.int64)
         ty = pdf["tile_y"].to_numpy(np.int64)
         wi = pdf["word_idx"].to_numpy(np.int64)
@@ -375,13 +432,36 @@ def trace_contours(
         for _ in range(close_rounds):
             grid = _erode3_np(grid)
         rings = _trace_one(grid)
+        # anchor in local grid (col, row) float coords: global cell
+        # cx = x0t*T + rx - pad  =>  rx = ax_m/cell_m - x0t*T + pad
+        ax = ay = None
+        if anchor is not None:
+            ax = anchor[0] / cell_m - x0t * T + pad
+            ay = anchor[1] / cell_m - y0t * T + pad
         out_rows = []
         for ring_id, ring in enumerate(rings):
+            flag = _ring_contains(ring, ay, ax) if ax is not None else None
             ring = _dp_simplify(ring, simplify_tol_cells)
             for seq, (ry, rx) in enumerate(ring):
                 mx = (x0t * T + rx - pad + 0.5) * cell_m
                 my = (y0t * T + ry - pad + 0.5) * cell_m
-                out_rows.append((key[0], ring_id, seq, mx, my))
-        return pd.DataFrame(out_rows, columns=["region_id", "ring_id", "seq", "mx", "my"])
+                row = (key[0], ring_id, seq, mx, my)
+                out_rows.append(row + (flag,) if with_anchor else row)
+        return pd.DataFrame(out_rows, columns=cols)
 
-    return tiles.groupBy("region_id").applyInPandas(trace, schema=RING_SCHEMA)
+    if not with_anchor:
+        return tiles.groupBy("region_id").applyInPandas(
+            lambda key, pdf: trace_grid(key, pdf, None), schema=RING_SCHEMA
+        )
+
+    def trace_cog(key: tuple, pdf: pd.DataFrame, a_pdf: pd.DataFrame) -> pd.DataFrame:
+        anchor = None
+        if len(a_pdf):
+            anchor = (float(a_pdf["ax_m"].iloc[0]), float(a_pdf["ay_m"].iloc[0]))
+        return trace_grid(key, pdf, anchor)
+
+    return (
+        tiles.groupBy("region_id")
+        .cogroup(anchors.groupBy("region_id"))
+        .applyInPandas(trace_cog, schema=ANCHORED_RING_SCHEMA)
+    )

@@ -73,11 +73,17 @@ def tsp_trips(stops: DataFrame, stops_per_trip: int = 12) -> DataFrame:
     hash and solve each with NN + 2-opt. Deterministic grouping keeps the
     op oracle-free but reproducible."""
     n_trips = max(1, stops.count() // stops_per_trip)
+    # md5-derived trip assignment (not xxhash64) so the grouping is
+    # reproducible outside the JVM — the tsp_truth golden fixture and
+    # any SQL engine can replicate it exactly
     grouped = stops.select(
         "query_id",
         "lon_e7",
         "lat_e7",
-        (F.abs(F.xxhash64("query_id")) % F.lit(n_trips)).cast("int").alias("trip_id"),
+        (
+            F.conv(F.substring(F.md5(F.col("query_id").cast("binary")), 1, 15), 16, 10).cast("long")
+            % F.lit(n_trips)
+        ).cast("int").alias("trip_id"),
     )
 
     def solve(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:

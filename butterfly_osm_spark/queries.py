@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -500,7 +502,30 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.images import resize_images
 
     fix = _fix(sf_dir)
-    return resize_images(_read(spark, fix, "images"))
+    # thumb binary -> md5 hex for the driver compare (binary cells
+    # stringify differently across engines); the golden md5 in the
+    # image_truth fixture is computed from the PRE-encode pixels, so the
+    # full decode -> block-mean resize -> PNG encode path is verified.
+    return resize_images(_read(spark, fix, "images")).select(
+        "image_id", "w", "h", F.md5("thumb").alias("thumb_md5")
+    )
+
+
+def sql_image_decode_stats(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    return f"""
+SELECT image_id, true AS decode_ok, w, h, mean, std, p_dark, lossy_psnr_db,
+       true AS phash_ok
+FROM read_parquet('{fix}/image_truth.parquet')
+"""
+
+
+def sql_image_resize(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    return f"""
+SELECT image_id, CAST(32 AS INT) AS w, CAST(32 AS INT) AS h, thumb_md5
+FROM read_parquet('{fix}/image_truth.parquet')
+"""
 
 
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,10 +571,63 @@ def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     segs = _read(spark, fix, "polygon_edges").select(
         F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2"
     )
-    rings = trace_contours(stamp_segments(segs, cell_m=50.0), cell_m=50.0, close_rounds=2)
-    return rings.select(
-        "region_id", "ring_id", "seq", F.round("mx", 3).alias("mx"), F.round("my", 3).alias("my")
+    # R5 anchor = polygon centroid in Mercator metres (the graft's "snapped
+    # origin"); all rings are kept, flagged by containment.
+    cent = (
+        _read(spark, fix, "polygon_edges")
+        .groupBy(F.col("polygon_id").alias("region_id"))
+        .agg(F.avg("x1").alias("clon"), F.avg("y1").alias("clat"))
     )
+    merc_r = 6_378_137.0
+    anchors = cent.select(
+        "region_id",
+        (F.lit(merc_r) * F.radians(F.col("clon") / F.lit(1e7))).alias("ax_m"),
+        (
+            F.lit(merc_r)
+            * F.log(F.tan(F.lit(float(np.pi) / 4) + F.radians(F.col("clat") / F.lit(1e7)) / 2))
+        ).alias("ay_m"),
+    )
+    rings = trace_contours(
+        stamp_segments(segs, cell_m=50.0), cell_m=50.0, close_rounds=2, anchors=anchors
+    )
+    return rings.select(
+        "region_id",
+        "ring_id",
+        "seq",
+        F.round("mx", 3).alias("mx"),
+        F.round("my", 3).alias("my"),
+        "anchored",
+    )
+
+
+def sql_raster_contour(sf: str = ORACLE_SF) -> str:
+    """Plumbing-parity oracle: the contour_truth fixture is a
+    single-threaded reference run of the same stamp/close/trace/simplify
+    kernels at generation time — the driver row verifies the DISTRIBUTED
+    execution (mapInPandas batching, bit_or word merge across partitions,
+    cogrouped gather) reproduces it exactly. Algorithm-level checks
+    (stamp vs SQL Bresenham, trace invariants) live in raster_stamp's
+    relational oracle and tests/test_raster.py."""
+    fix = _oracle_fix(sf)
+    return f"SELECT * FROM read_parquet('{fix}/contour_truth.parquet')"
+
+
+def q_raster_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 stamp stage alone, relationally oracled: closed-form integer
+    Bresenham + 64-bit word packing + bit_or merge."""
+    from .operators.raster import stamp_segments
+
+    fix = _fix(sf_dir)
+    segs = _read(spark, fix, "polygon_edges").select(
+        F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2"
+    )
+    return stamp_segments(segs, cell_m=50.0)
+
+
+def sql_raster_stamp(sf: str = ORACLE_SF) -> str:
+    from .operators.raster import stamp_oracle_sql
+
+    return stamp_oracle_sql(_oracle_fix(sf))
 
 
 def q_same_way_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,20 +669,54 @@ def q_elev_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduced-form driver row for the HMM matcher (Viterbi is not
+    SQL-expressible): every ping must be matched (count parity with the
+    traces table, checked exactly by the oracle) and overall accuracy vs
+    the seeded ground truth must clear 0.99 (asserted as a boolean the
+    oracle pins true). Per-ping output remains the operator API
+    (viterbi_match); accuracy 0.997 is additionally gated in pytest."""
     from .operators.mapmatch import viterbi_match
 
     fix = _fix(sf_dir)
-    return viterbi_match(
+    matched = viterbi_match(
         _read(spark, fix, "traces").drop("true_way_id"),
         _read(spark, fix, "way_nodes"),
         _read(spark, fix, "osm_nodes"),
     )
+    truth = _read(spark, fix, "traces").select("trace_id", "seq", "true_way_id")
+    j = matched.join(truth, ["trace_id", "seq"])
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pings"),
+        F.countDistinct("trace_id").alias("n_traces"),
+        (
+            F.avg(F.when(F.col("way_id") == F.col("true_way_id"), 1.0).otherwise(0.0)) >= 0.99
+        ).alias("accuracy_ge_99"),
+    )
+
+
+def sql_map_match(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_pings,
+       CAST(count(DISTINCT trace_id) AS BIGINT) AS n_traces,
+       true AS accuracy_ge_99
+FROM read_parquet('{fix}/traces.parquet')
+"""
 
 
 def q_tsp_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.trips import tsp_trips
 
     return tsp_trips(_read(spark, _fix(sf_dir), "query_points"))
+
+
+def sql_tsp_trips(sf: str = ORACLE_SF) -> str:
+    """Plumbing-parity oracle: tsp_truth is a single-threaded reference
+    run of the same md5-grouping + NN + 2-opt kernels at generation
+    time; the row verifies the distributed groupBy/applyInPandas run
+    reproduces it exactly (tour validity/improvement are pytest-gated)."""
+    fix = _oracle_fix(sf)
+    return f"SELECT * FROM read_parquet('{fix}/tsp_truth.parquet')"
 
 
 def q_elev_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup": q_phash_dedup,
     "phash_neardup": q_phash_neardup,
     "raster_contour": q_raster_contour,
+    "raster_stamp": q_raster_stamp,
     "dem_sample": q_dem_sample,
     "dem_coverage": q_dem_coverage,
     "map_match": q_map_match,
@@ -766,8 +879,14 @@ ORACLES: dict[str, Callable[..., str]] = {
     "way_polyline6": sql_way_polyline6,
     "canonical_hash": sql_canonical_hash,
     "interp_midpoint": sql_interp_midpoint,
+    "image_decode_stats": sql_image_decode_stats,
+    "image_resize": sql_image_resize,
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
+    "raster_contour": sql_raster_contour,
+    "raster_stamp": sql_raster_stamp,
+    "map_match": sql_map_match,
+    "tsp_trips": sql_tsp_trips,
     "dem_coverage": sql_dem_coverage,
     "dem_sample": sql_dem_sample,
     "elev_frontier": sql_elev_frontier,

@@ -56,11 +56,11 @@ def main() -> None:
             if name not in oracles:
                 print(f"{name}: no_oracle spark_rows={len(got)}")
                 continue
-            wdf = con.sql(oracles[name]).df()
-            assert sorted(wdf.columns) == cols, f"schema {sorted(wdf.columns)} != {cols}"
-            want = sorted(
-                tuple(str(v) for v in row) for row in wdf[cols].itertuples(index=False)
-            )
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            assert sorted(ocols) == cols, f"schema {sorted(ocols)} != {cols}"
+            order = [ocols.index(c) for c in cols]
+            want = sorted(tuple(str(row[i]) for i in order) for row in rel.fetchall())
             ok = got == want
             print(f"{name}: {'MATCH' if ok else 'MISMATCH'} spark={len(got)} oracle={len(want)}")
             if not ok:

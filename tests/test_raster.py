@@ -67,6 +67,54 @@ def test_raster_contour_deterministic(spark, fix001):
     assert a == b
 
 
+def test_anchored_ring_contains_origin(spark, fix001):
+    """R5 postdeploy-gate analog (reference bench/postdeploy_gate.py:703,
+    sparse_contour.rs:650-748): for every region, the anchor (polygon
+    centroid = the snapped origin) must lie inside at least one traced
+    ring, and that ring carries anchored=true; rings not containing the
+    origin are flagged false (spurious-island discrimination)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from butterfly_osm_spark.geo import mercator_np
+    from butterfly_osm_spark.operators.raster import stamp_segments, trace_contours
+
+    edges = spark.read.parquet(f"{fix001}/polygon_edges.parquet")
+    some = [r.polygon_id for r in edges.select("polygon_id").distinct().limit(12).collect()]
+    edges = edges.filter(F.col("polygon_id").isin(some))
+    segs = edges.select(F.col("polygon_id").alias("region_id"), "x1", "y1", "x2", "y2")
+    cent = edges.groupBy(F.col("polygon_id").alias("region_id")).agg(
+        F.avg("x1").alias("clon"), F.avg("y1").alias("clat")
+    )
+    cpdf = cent.toPandas()
+    ax, ay = mercator_np(cpdf["clon"].to_numpy(), cpdf["clat"].to_numpy())
+    anchors = spark.createDataFrame(
+        pd.DataFrame({"region_id": cpdf["region_id"], "ax_m": ax, "ay_m": ay})
+    )
+    rings = trace_contours(
+        stamp_segments(segs, cell_m=50.0), cell_m=50.0, close_rounds=2, anchors=anchors
+    ).toPandas()
+    assert set(rings.region_id) == set(some)
+    for rid, g in rings.groupby("region_id"):
+        flags = g.groupby("ring_id")["anchored"].first()
+        assert flags.any(), f"{rid}: no ring contains its origin"
+        # the anchored ring really contains the anchor (re-checked here
+        # with an independent even-odd test over the emitted vertices)
+        arow = cpdf[cpdf.region_id == rid].iloc[0]
+        amx, amy = mercator_np(np.array([arow.clon]), np.array([arow.clat]))
+        anch = g[g.anchored]
+        ring0 = anch[anch.ring_id == anch.ring_id.iloc[0]].sort_values("seq")
+        x = ring0["mx"].to_numpy()
+        y = ring0["my"].to_numpy()
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        cond = (y > amy[0]) != (y2 > amy[0])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x) * (amy[0] - y) / (y2 - y) + x
+        # DP-simplified ring: allow the anchor's parity on the simplified
+        # polygon too (tolerant check — deep-interior anchors are robust)
+        assert bool((cond & (amx[0] < xint)).sum() % 2), f"{rid}: anchored ring fails PIP"
+
+
 def test_dem_sample_matches_numpy_oracle(spark, fix001):
     import pandas as pd
 
@@ -84,6 +132,7 @@ def test_dem_sample_matches_numpy_oracle(spark, fix001):
             data = np.frombuffer(t.data, dtype=">i2").astype(np.int16)
             fx = np.array([r.lon_e7 / 1e7 - tl[1]])
             fy = np.array([r.lat_e7 / 1e7 - tl[0]])
-            want = np.round(bilinear_np(data, t.samples_per_side, fx, fy), 3)[0]
+            # same mode-free round-half-up the operator applies
+            want = (np.floor(bilinear_np(data, t.samples_per_side, fx, fy) * 1000.0 + 0.5) / 1000.0)[0]
         g = got[r.query_id]
         assert (np.isnan(want) and (g is None or np.isnan(g))) or g == want
