@@ -86,16 +86,26 @@ def adaptive_res(targets: DataFrame, occ_target: int = OCC_TARGET) -> int:
     return RES_CEIL
 
 
-def _candidates(queries: DataFrame, targets_cells: DataFrame, res: int, rx: int, ry: int) -> DataFrame:
-    """Explode queries by the (2rx+1)x(2ry+1) cell rectangle and equi-join
-    the cell-keyed targets."""
-    offsets = F.array(
-        *[
-            F.lit(dy * (1 << cells.Y_SHIFT) + dx)
-            for dx in range(-rx, rx + 1)
-            for dy in range(-ry, ry + 1)
-        ]
-    )
+def _candidates(
+    queries: DataFrame,
+    targets_cells: DataFrame,
+    res: int,
+    rx: int,
+    ry: int,
+    prev_rx: int = -1,
+    prev_ry: int = -1,
+) -> DataFrame:
+    """Explode queries by the (2rx+1)x(2ry+1) cell rectangle — MINUS the
+    previously-covered (2prev_rx+1)x(2prev_ry+1) rectangle (ring-shell
+    emission: widening phases only scan NEW cells; the top-k partial from
+    the inner rectangle is carried forward instead of re-scanned)."""
+    offs = [
+        (dx, dy)
+        for dx in range(-rx, rx + 1)
+        for dy in range(-ry, ry + 1)
+        if not (abs(dx) <= prev_rx and abs(dy) <= prev_ry)
+    ]
+    offsets = F.array(*[F.lit(dy * (1 << cells.Y_SHIFT) + dx) for dx, dy in offs])
     q = (
         queries.withColumn("qcell", cells.cell_col("lon_e7", "lat_e7", res))
         .select(
@@ -182,12 +192,20 @@ def knn_join(
     )
 
     remaining = q_live
+    carried: DataFrame | None = None  # top-k-so-far of still-open queries
     parts: list[DataFrame] = []
     R = 1
+    prev_rx = prev_ry = -1
     while True:
         covers_cutoff = R >= rx_max and R >= ry_max
         rx, ry = min(R, rx_max), min(R, ry_max)
-        ranked = _rank_topk(_candidates(remaining, tc, res, rx, ry), cutoff_m)
+        # only the NEW shell of cells is scanned this phase; the inner
+        # rectangle's contribution is the carried top-k partial (any point
+        # outside a query's inner top-k can never enter the global top-k)
+        cand = _candidates(remaining, tc, res, rx, ry, prev_rx, prev_ry)
+        if carried is not None:
+            cand = cand.unionByName(carried)
+        ranked = _rank_topk(cand, cutoff_m)
         if covers_cutoff:
             parts.append(ranked)
             break
@@ -201,6 +219,10 @@ def knn_join(
         ).select("query_id")
         parts.append(ranked.join(done_q, "query_id", "left_semi"))
         remaining = remaining.join(done_q, "query_id", "left_anti")
+        carried = ranked.join(done_q, "query_id", "left_anti").select(
+            "query_id", "k", "node_id", "d2"
+        )
+        prev_rx, prev_ry = rx, ry
         R *= RING_GROWTH
 
     out = parts[0]

@@ -100,6 +100,185 @@ GROUP BY 1, 2
 """
 
 
+PHANTOM_RADIUS_M = 500.0
+
+
+def phantom_positions(
+    queries: DataFrame, way_nodes: DataFrame, nodes: DataFrame, radius_m: float = PHANTOM_RADIUS_M
+) -> DataFrame:
+    """G10 phantom endpoints (reference route/src/server/phantom.rs:1-24):
+    snap each query point to its nearest way SEGMENT (clamped orthogonal
+    projection in equirect metre space) and emit the exact fractional
+    arc position pos_mm = cum_before + t * seg_len — the partial-edge
+    cost the reference injects at matrix boundaries instead of rounding
+    to the nearest vertex.
+
+    Candidate rule (bounded join, mirrored exactly by the SQL oracle):
+    segments whose FIRST endpoint lies within ``radius_m`` of the query
+    (bbox/cell prefilter + exact check). Ties on the projected distance
+    break by (way_id, seq).
+
+    Output: (query_id, way_id, seq, t, pos_mm, snap_d2).
+    """
+    from ..geo import E7, M_PER_DEG_LAT, M_PER_DEG_LON
+    from .tiles import radius_prefilter
+
+    w = Window.partitionBy("way_id").orderBy("seq")
+    wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
+        "way_id", "seq", "lon_e7", "lat_e7"
+    )
+    segs = (
+        wv.select(
+            "way_id",
+            "seq",
+            F.col("lon_e7").alias("x1"),
+            F.col("lat_e7").alias("y1"),
+            F.lead("lon_e7").over(w).alias("x2"),
+            F.lead("lat_e7").over(w).alias("y2"),
+        )
+        .filter(F.col("x2").isNotNull())
+        .withColumn("seg_m", haversine_m_col("x1", "y1", "x2", "y2"))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("seg_m").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0.0)),
+        )
+    )
+    seg_pts = segs.select(
+        F.concat_ws("#", F.col("way_id").cast("string"), F.col("seq").cast("string")).alias(
+            "seg_key"
+        ),
+        F.col("x1").alias("lon_e7"),
+        F.col("y1").alias("lat_e7"),
+    )
+    cand = radius_prefilter(queries, seg_pts, radius_m, point_id="seg_key").select(
+        "query_id", F.col("point_id").alias("seg_key")
+    )
+    q = queries.select("query_id", F.col("lon_e7").alias("qlon"), F.col("lat_e7").alias("qlat"))
+    segk = segs.withColumn(
+        "seg_key",
+        F.concat_ws("#", F.col("way_id").cast("string"), F.col("seq").cast("string")),
+    )
+    j = cand.join(q, "query_id").join(segk, "seg_key")
+    ax = (F.col("qlon") - F.col("x1")).cast("double") * F.lit(M_PER_DEG_LON) / F.lit(float(E7))
+    ay = (F.col("qlat") - F.col("y1")).cast("double") * F.lit(M_PER_DEG_LAT) / F.lit(float(E7))
+    bx = (F.col("x2") - F.col("x1")).cast("double") * F.lit(M_PER_DEG_LON) / F.lit(float(E7))
+    by = (F.col("y2") - F.col("y1")).cast("double") * F.lit(M_PER_DEG_LAT) / F.lit(float(E7))
+    len2 = bx * bx + by * by
+    t_raw = F.when(len2 > 0, (ax * bx + ay * by) / len2).otherwise(F.lit(0.0))
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    proj = j.select(
+        "query_id",
+        "way_id",
+        "seq",
+        t.alias("t"),
+        ((ax - t * bx) * (ax - t * bx) + (ay - t * by) * (ay - t * by)).alias("snap_d2"),
+        "cum_before",
+        "seg_m",
+    )
+    best = Window.partitionBy("query_id").orderBy("snap_d2", "way_id", "seq")
+    return (
+        proj.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "way_id",
+            F.col("seq").cast("int").alias("seq"),
+            F.round("t", 6).alias("t"),
+            F.round((F.col("cum_before") + F.col("t") * F.col("seg_m")) * 1000, 0)
+            .cast("long")
+            .alias("pos_mm"),
+            "snap_d2",
+        )
+    )
+
+
+def phantom_matrix(
+    queries: DataFrame, way_nodes: DataFrame, nodes: DataFrame, radius_m: float = PHANTOM_RADIUS_M
+) -> DataFrame:
+    """(src_id, dst_id, way_id, dist_mm): exact along-way distances
+    between phantom-snapped query points sharing a way — both endpoints
+    carry their FRACTIONAL edge cost (t * seg_len), the G10 semantic the
+    vertex-rounding J11 matrix approximates away."""
+    ph = phantom_positions(queries, way_nodes, nodes, radius_m).select(
+        "query_id", "way_id", "pos_mm"
+    )
+    a = ph.select("way_id", F.col("query_id").alias("src_id"), F.col("pos_mm").alias("pa"))
+    b = ph.select("way_id", F.col("query_id").alias("dst_id"), F.col("pos_mm").alias("pb"))
+    return (
+        a.join(b, "way_id")
+        .filter(F.col("src_id") < F.col("dst_id"))
+        .select("src_id", "dst_id", "way_id", F.abs(F.col("pa") - F.col("pb")).alias("dist_mm"))
+    )
+
+
+def phantom_matrix_oracle_sql(fix: str, radius_m: float = PHANTOM_RADIUS_M) -> str:
+    from ..geo import E7, M_PER_DEG_LAT, M_PER_DEG_LON
+
+    hav = haversine_m_sql("x1", "y1", "x2", "y2")
+    dlon = int(radius_m / M_PER_DEG_LON * 1e7)
+    dlat = int(radius_m / M_PER_DEG_LAT * 1e7)
+    d2 = (
+        f"(CAST(CAST(q.lat_e7 AS BIGINT) - CAST(s.y1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LAT!r} / {float(E7)!r}) * "
+        f"(CAST(CAST(q.lat_e7 AS BIGINT) - CAST(s.y1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LAT!r} / {float(E7)!r}) + "
+        f"(CAST(CAST(q.lon_e7 AS BIGINT) - CAST(s.x1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LON!r} / {float(E7)!r}) * "
+        f"(CAST(CAST(q.lon_e7 AS BIGINT) - CAST(s.x1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LON!r} / {float(E7)!r})"
+    )
+    return f"""
+WITH wv AS (
+  SELECT w.way_id, w.seq, n.lon_e7, n.lat_e7
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), sraw AS (
+  SELECT way_id, seq, lon_e7 AS x1, lat_e7 AS y1,
+         lead(lon_e7) OVER (PARTITION BY way_id ORDER BY seq) AS x2,
+         lead(lat_e7) OVER (PARTITION BY way_id ORDER BY seq) AS y2
+  FROM wv
+), seg AS (
+  SELECT *, {hav} AS seg_m,
+         coalesce(sum({hav}) OVER (PARTITION BY way_id ORDER BY seq
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before
+  FROM sraw WHERE x2 IS NOT NULL
+), cand AS (
+  SELECT q.query_id, s.way_id, s.seq, s.x2, s.y2, s.seg_m, s.cum_before,
+         (CAST(CAST(q.lon_e7 AS BIGINT) - CAST(s.x1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LON!r} / {float(E7)!r}) AS ax,
+         (CAST(CAST(q.lat_e7 AS BIGINT) - CAST(s.y1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LAT!r} / {float(E7)!r}) AS ay,
+         (CAST(CAST(s.x2 AS BIGINT) - CAST(s.x1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LON!r} / {float(E7)!r}) AS bx,
+         (CAST(CAST(s.y2 AS BIGINT) - CAST(s.y1 AS BIGINT) AS DOUBLE) * {M_PER_DEG_LAT!r} / {float(E7)!r}) AS by
+  FROM read_parquet('{fix}/query_points.parquet') q
+  JOIN seg s
+    ON s.x1 BETWEEN q.lon_e7 - {dlon} AND q.lon_e7 + {dlon}
+   AND s.y1 BETWEEN q.lat_e7 - {dlat} AND q.lat_e7 + {dlat}
+  WHERE {d2} <= {radius_m * radius_m!r}
+), proj AS (
+  SELECT query_id, way_id, seq, cum_before, seg_m,
+         least(greatest(CASE WHEN bx * bx + by * by > 0
+                             THEN (ax * bx + ay * by) / (bx * bx + by * by)
+                             ELSE 0.0 END, 0.0), 1.0) AS t,
+         (ax - least(greatest(CASE WHEN bx * bx + by * by > 0
+                                   THEN (ax * bx + ay * by) / (bx * bx + by * by)
+                                   ELSE 0.0 END, 0.0), 1.0) * bx)
+       * (ax - least(greatest(CASE WHEN bx * bx + by * by > 0
+                                   THEN (ax * bx + ay * by) / (bx * bx + by * by)
+                                   ELSE 0.0 END, 0.0), 1.0) * bx)
+       + (ay - least(greatest(CASE WHEN bx * bx + by * by > 0
+                                   THEN (ax * bx + ay * by) / (bx * bx + by * by)
+                                   ELSE 0.0 END, 0.0), 1.0) * by)
+       * (ay - least(greatest(CASE WHEN bx * bx + by * by > 0
+                                   THEN (ax * bx + ay * by) / (bx * bx + by * by)
+                                   ELSE 0.0 END, 0.0), 1.0) * by) AS snap_d2
+  FROM cand
+), best AS (
+  SELECT query_id, way_id,
+         CAST(round((cum_before + t * seg_m) * 1000, 0) AS BIGINT) AS pos_mm,
+         row_number() OVER (PARTITION BY query_id ORDER BY snap_d2, way_id, seq) AS rn
+  FROM proj
+), ph AS (SELECT query_id, way_id, pos_mm FROM best WHERE rn = 1)
+SELECT a.query_id AS src_id, b.query_id AS dst_id, a.way_id,
+       abs(a.pos_mm - b.pos_mm) AS dist_mm
+FROM ph a JOIN ph b ON a.way_id = b.way_id AND a.query_id < b.query_id
+"""
+
+
 def bbox_aggregate(nodes: DataFrame) -> DataFrame:
     """A2: the nodes.sa header bbox (route/src/formats/nodes_sa.rs:129-152)."""
     return nodes.agg(

@@ -637,6 +637,23 @@ def q_same_way_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return same_way_matrix(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
 
 
+def q_phantom_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.matrix import phantom_matrix
+
+    fix = _fix(sf_dir)
+    return phantom_matrix(
+        _read(spark, fix, "query_points"),
+        _read(spark, fix, "way_nodes"),
+        _read(spark, fix, "osm_nodes"),
+    )
+
+
+def sql_phantom_matrix(sf: str = ORACLE_SF) -> str:
+    from .operators.matrix import phantom_matrix_oracle_sql
+
+    return phantom_matrix_oracle_sql(_oracle_fix(sf))
+
+
 def sql_same_way_matrix(sf: str = ORACLE_SF) -> str:
     from .operators.matrix import same_way_matrix_oracle_sql
 
@@ -830,6 +847,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tsp_trips": q_tsp_trips,
     "elev_frontier": q_elev_frontier,
     "same_way_matrix": q_same_way_matrix,
+    "phantom_matrix": q_phantom_matrix,
     "bbox_agg": q_bbox_agg,
     "elev_profile": q_elev_profile,
 }
@@ -892,5 +910,6 @@ ORACLES: dict[str, Callable[..., str]] = {
     "elev_frontier": sql_elev_frontier,
     "elev_profile": sql_elev_profile,
     "same_way_matrix": sql_same_way_matrix,
+    "phantom_matrix": sql_phantom_matrix,
     "bbox_agg": sql_bbox_agg,
 }

@@ -74,3 +74,40 @@ def test_elevation_frontier_invariants(spark, fix001):
         u = int(g.loc[g.seq == r.seq, "node_id"].iloc[0])
         v = int(g.loc[g.seq == r.seq + 1, "node_id"].iloc[0])
         assert (elev[u] < T) != (elev[v] < T), "cut endpoints must straddle the threshold"
+
+
+def test_phantom_positions_fractional(spark, fix001):
+    """G10 semantics (reference route/src/server/phantom.rs:1-24): snapped
+    positions carry FRACTIONAL edge costs — a strictly-interior projection
+    (0 < t < 1) must yield a pos_mm strictly between its segment's
+    endpoint positions, and the matrix distance between two phantoms on
+    one way must equal |pos_a - pos_b| exactly."""
+    from butterfly_osm_spark.operators.matrix import (
+        phantom_matrix,
+        phantom_positions,
+        way_positions,
+    )
+
+    qp = spark.read.parquet(f"{fix001}/query_points.parquet")
+    wn = spark.read.parquet(f"{fix001}/way_nodes.parquet")
+    nodes = spark.read.parquet(f"{fix001}/osm_nodes.parquet")
+    ph = phantom_positions(qp, wn, nodes).toPandas()
+    assert len(ph), "no phantom snaps at fixture scale"
+    interior = ph[(ph.t > 0.01) & (ph.t < 0.99)]
+    assert len(interior) > 0, "no strictly-interior projections — fractional path untested"
+    pos = way_positions(wn, nodes).toPandas()
+    pos_map = {}
+    for r in pos.itertuples(index=False):
+        pos_map.setdefault(r.way_id, []).append(r.pos_mm)
+    checked = 0
+    for r in interior.itertuples(index=False):
+        vp = sorted(pos_map[r.way_id])
+        # strictly between two vertex positions => genuine partial-edge cost
+        if r.pos_mm not in vp:
+            assert vp[0] <= r.pos_mm <= vp[-1]
+            checked += 1
+    assert checked > 0, "every interior phantom coincided with a vertex position"
+    mat = phantom_matrix(qp, wn, nodes).toPandas()
+    pm = {(r.query_id, r.way_id): r.pos_mm for r in ph.itertuples(index=False)}
+    for r in mat.itertuples(index=False):
+        assert r.dist_mm == abs(pm[(r.src_id, r.way_id)] - pm[(r.dst_id, r.way_id)])
