@@ -48,6 +48,12 @@ class Stage:
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
     inputs: list[str] = field(default_factory=list)  # upstream stage names or raw: paths
     version: str = "1"  # bump when stage logic changes
+    # (n_buckets, key): publish as a bucketBy+sortBy table (catalog-backed,
+    # Iceberg bucket-partitioning stand-in) — downstream equi-joins between
+    # stages bucketed on the same key plan with ZERO exchange (PLANS.md
+    # round-2 evidence; reference sorted nodes.sa access,
+    # route/src/nbg/mod.rs:260-313)
+    bucket: tuple[int, str] | None = None
 
 
 def _ckpt_dir(build_dir: str) -> str:
@@ -109,7 +115,27 @@ class Build:
     def _out_path(self, stage: str) -> str:
         return os.path.join(self.build_dir, stage)
 
+    def _table_name(self, stage: str) -> str:
+        return f"ckpt_{hashlib.sha256(self.build_dir.encode()).hexdigest()[:10]}_{stage}"
+
     def output(self, stage: str) -> DataFrame:
+        """Stage output as a DataFrame. Bucketed stages resolve through the
+        catalog (bucket metadata is what lets joins skip the exchange); a
+        fresh session re-registers the external table from the checkpoint
+        metadata before reading."""
+        cpath = _ckpt_path(self.build_dir, stage)
+        if os.path.exists(cpath):
+            meta = json.load(open(cpath))
+            if meta.get("bucket"):
+                tbl = self._table_name(stage)
+                if not self.spark.catalog.tableExists(tbl):
+                    n, key = meta["bucket"]
+                    self.spark.sql(
+                        f"CREATE TABLE {tbl} ({meta['schema_ddl']}) USING PARQUET "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n} BUCKETS "
+                        f"LOCATION '{self._out_path(stage)}'"
+                    )
+                return self.spark.table(tbl)
         return self.spark.read.parquet(self._out_path(stage))
 
     def _verify_published(self, stage: Stage, meta: dict) -> bool:
@@ -146,15 +172,34 @@ class Build:
         df = stage.fn(self.spark, resolved)
 
         out = self._out_path(stage.name)
-        tmp = out + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        published = self.spark.read.parquet(tmp)
-        parts = _partition_counts(published)
-        if os.path.exists(out):
-            shutil.rmtree(out)
-        os.rename(tmp, out)
+        schema_ddl = None
+        if stage.bucket:
+            n_buckets, key = stage.bucket
+            tbl = self._table_name(stage.name)
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            (
+                df.write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .option("path", out)
+                .format("parquet")
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+            published = self.spark.table(tbl)
+            schema_ddl = published._jdf.schema().toDDL()
+            parts = _partition_counts(published)
+        else:
+            tmp = out + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            df.write.mode("overwrite").parquet(tmp)
+            published = self.spark.read.parquet(tmp)
+            parts = _partition_counts(published)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
 
         meta = {
             "stage": stage.name,
@@ -165,6 +210,8 @@ class Build:
             "wall_s": round(time.time() - t0, 3),
             "engine_version": ENGINE_VERSION,
             "resumed": False,
+            "bucket": list(stage.bucket) if stage.bucket else None,
+            "schema_ddl": schema_ddl,
         }
         with open(cpath + ".tmp", "w") as f:
             json.dump(meta, f)
@@ -190,14 +237,19 @@ def reference_pipeline(fix: str) -> list[Stage]:
     from .operators.pip import pip_join
 
     def nodes_sorted(spark, ins):
-        # total-order contract (ingest/mod.rs:201-207)
+        # id-ordered layout (ingest/mod.rs:201-207): published bucketed by
+        # id + sorted within buckets, so the J2 coordinate join against the
+        # co-bucketed way_nodes stage plans with zero exchange
         return ins["osm_nodes"].orderBy("id", "lat_e7", "lon_e7")
+
+    def way_nodes_sorted(spark, ins):
+        return ins["way_nodes"].orderBy("node_id", "way_id", "seq")
 
     def way_attrs(spark, ins):
         return compile_way_attrs(ins["osm_ways"])
 
     def edges(spark, ins):
-        return build_edges(ins["osm_ways"], ins["way_nodes"], ins["nodes_sorted"])
+        return build_edges(ins["osm_ways"], ins["way_nodes_sorted"], ins["nodes_sorted"])
 
     def image_cells(spark, ins):
         g = ins["image_geo"]
@@ -215,12 +267,26 @@ def reference_pipeline(fix: str) -> list[Stage]:
         )
 
     return [
-        Stage("nodes_sorted", nodes_sorted, [f"raw:{fix}/osm_nodes.parquet"]),
+        Stage(
+            "nodes_sorted",
+            nodes_sorted,
+            [f"raw:{fix}/osm_nodes.parquet"],
+            version="2",
+            bucket=(8, "id"),
+        ),
+        Stage(
+            "way_nodes_sorted",
+            way_nodes_sorted,
+            [f"raw:{fix}/way_nodes.parquet"],
+            version="2",
+            bucket=(8, "node_id"),
+        ),
         Stage("way_attrs", way_attrs, [f"raw:{fix}/osm_ways.parquet"]),
         Stage(
             "edges",
             edges,
-            [f"raw:{fix}/osm_ways.parquet", f"raw:{fix}/way_nodes.parquet", "nodes_sorted"],
+            [f"raw:{fix}/osm_ways.parquet", "way_nodes_sorted", "nodes_sorted"],
+            version="2",
         ),
         Stage("image_cells", image_cells, [f"raw:{fix}/image_geo.parquet"]),
         Stage("pip_pairs", pip_pairs, ["image_cells", f"raw:{fix}/polygons.parquet"]),

