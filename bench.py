@@ -143,6 +143,10 @@ def run_scaling_level(sf_dir: str, cpus: int) -> dict:
         suite_once()  # warm plans, caches, python workers
         suite_sec = min(suite_once() for _ in range(REPEATS))
 
+        # drop persisted frames leaked by the suite (kNN phase partials
+        # etc.) so the compute kernel is measured against a clean
+        # execution-memory pool, then cache the kernel input
+        spark.catalog.clearCache()
         v = _hash_vectors(spark, ANN_N).persist()
         v.count()
 
