@@ -41,7 +41,14 @@ from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON, equirect_d2_col, equirect_d2_sql
 CUTOFF_M = 5_000.0  # reference SNAP_CUTOFF (spatial.rs:9)
 OCC_TARGET = 64  # p95 cell occupancy ceiling (reference warns >8192/cell)
 RES_FLOOR, RES_CEIL = 7, 13
-RING_GROWTH = 4
+# phase schedule: R = R0, R0*G, ... — measured at sf0.1/local[32]:
+# (R0=2, G=8) resolves ~all queries in phase 1 (25-cell rect at p95
+# occupancy 64) and finishes in ONE more covering phase, 1.8x faster than
+# (1, 4)'s three phases; a single full-rect phase (R0=rx_max) is 2.8x
+# slower — candidate volume dominates. Stage-count x candidate-volume
+# trade, not a correctness knob (results hash-identical across schedules).
+RING_R0 = 2
+RING_GROWTH = 8
 
 
 def _edge_m(res: int) -> tuple[float, float]:
@@ -144,6 +151,8 @@ def knn_join(
     res: int | None = None,
     cutoff_m: float = CUTOFF_M,
     target_id: str = "id",
+    r0: int = RING_R0,
+    ring_growth: int = RING_GROWTH,
 ) -> DataFrame:
     """Top-k nearest targets per query point under the snap cutoff.
 
@@ -194,7 +203,7 @@ def knn_join(
     remaining = q_live
     carried: DataFrame | None = None  # top-k-so-far of still-open queries
     parts: list[DataFrame] = []
-    R = 1
+    R = r0
     prev_rx = prev_ry = -1
     while True:
         covers_cutoff = R >= rx_max and R >= ry_max
@@ -223,7 +232,7 @@ def knn_join(
             "query_id", "k", "node_id", "d2"
         )
         prev_rx, prev_ry = rx, ry
-        R *= RING_GROWTH
+        R *= ring_growth
 
     out = parts[0]
     for p in parts[1:]:
