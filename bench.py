@@ -64,6 +64,15 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=str(max(32, 2 * cpus)),
     )
+    # Engine warm-up, outside the timed region (the stated methodology
+    # excludes session startup): one generic shuffle job + a 1-row parquet
+    # touch spin up the JVM JIT, codegen compiler, scheduler pools and
+    # Python workers. No headline query plan or data is pre-run — each
+    # query below still pays its own plan compile, scans and shuffles.
+    from pyspark.sql import functions as F
+
+    spark.range(100000).select(F.sum(F.hash("id"))).collect()
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).count()
     try:
         times: dict[str, float] = {}
         rows: dict[str, int] = {}

@@ -106,13 +106,11 @@ def _candidates(
     previously-covered (2prev_rx+1)x(2prev_ry+1) rectangle (ring-shell
     emission: widening phases only scan NEW cells; the top-k partial from
     the inner rectangle is carried forward instead of re-scanned)."""
-    offs = [
-        (dx, dy)
-        for dx in range(-rx, rx + 1)
-        for dy in range(-ry, ry + 1)
-        if not (abs(dx) <= prev_rx and abs(dy) <= prev_ry)
-    ]
-    offsets = F.array(*[F.lit(dy * (1 << cells.Y_SHIFT) + dx) for dx, dy in offs])
+    # offsets via nested sequence-explodes, not a literal array: a phase-2
+    # rectangle is >1000 offsets and a 1000-element literal array blows up
+    # the generated codegen method (janino compile seconds per call); two
+    # sequence explodes + a shell filter keep the generated code O(1)-sized
+    # regardless of R.
     q = (
         queries.withColumn("qcell", cells.cell_col("lon_e7", "lat_e7", res))
         .select(
@@ -121,10 +119,26 @@ def _candidates(
             F.col("lat_e7").alias("qlat"),
             "k",
             "qcell",
-            F.explode(offsets).alias("off"),
+            F.explode(F.sequence(F.lit(-rx), F.lit(rx))).alias("dx"),
         )
         .select(
-            "query_id", "qlon", "qlat", "k", (F.col("qcell") + F.col("off")).alias("cell_id")
+            "query_id",
+            "qlon",
+            "qlat",
+            "k",
+            "qcell",
+            "dx",
+            F.explode(F.sequence(F.lit(-ry), F.lit(ry))).alias("dy"),
+        )
+        .filter(~((F.abs("dx") <= F.lit(prev_rx)) & (F.abs("dy") <= F.lit(prev_ry))))
+        .select(
+            "query_id",
+            "qlon",
+            "qlat",
+            "k",
+            (
+                F.col("qcell") + F.col("dy") * F.lit(1 << cells.Y_SHIFT) + F.col("dx")
+            ).alias("cell_id"),
         )
     )
     j = q.join(targets_cells, "cell_id", "inner")
