@@ -73,6 +73,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
 
     spark.range(100000).select(F.sum(F.hash("id"))).collect()
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).count()
+    # spin up the Arrow/pandas Python worker pool (one daemon per core on
+    # first pandas-UDF stage — session startup, not query work)
+    spark.range(64, numPartitions=32).groupBy("id").applyInPandas(
+        lambda pdf: pdf, "id long"
+    ).count()
     try:
         times: dict[str, float] = {}
         rows: dict[str, int] = {}

@@ -200,6 +200,94 @@ def neighbor_col(cell: Column | str, dx: int, dy: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Hilbert curve key (O2 locality sort, reference snap_index.rs:203-243
+# Hilbert-sorted PackedPoints within cells). Standard xy2d walk, order 16:
+# global lon/lat quantized to 16-bit x/y, then 16 unrolled rotate steps.
+# Three parity-identical implementations: numpy (fixtures/UDF), Spark
+# Column select-chain (JVM codegen), DuckDB SQL (oracle).
+# ---------------------------------------------------------------------------
+
+HILBERT_ORDER = 16
+# integer quantizers: (lon_e7+OFF)//DIV in [0, 65535] for the full domain
+HILBERT_DIV_LON = 3_600_000_000 // (1 << HILBERT_ORDER) + 1
+HILBERT_DIV_LAT = 1_800_000_000 // (1 << HILBERT_ORDER) + 1
+
+
+def hilbert_xy_np(lon_e7: np.ndarray, lat_e7: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    x = (lon_e7.astype(np.int64) + OFF_LON_E7) // HILBERT_DIV_LON
+    y = (lat_e7.astype(np.int64) + OFF_LAT_E7) // HILBERT_DIV_LAT
+    return x, y
+
+
+def hilbert_np(x: np.ndarray, y: np.ndarray, order: int = HILBERT_ORDER) -> np.ndarray:
+    """Vectorized xy2d Hilbert distance for x, y in [0, 2^order)."""
+    x = x.astype(np.int64).copy()
+    y = y.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: only where ry == 0
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, s - 1 - x, x)
+        y2 = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def with_hilbert(df, lon_e7: str = "lon_e7", lat_e7: str = "lat_e7", out: str = "hilbert"):
+    """Append a Hilbert key column via an Arrow-vectorized pandas UDF over
+    the shared numpy kernel (the index-encoder shape the north rule
+    sanctions). An unrolled pure-Column chain was tried first and is
+    parity-identical, but Catalyst's CollapseProject re-inlines the 16
+    rotate steps into an exponential expression tree (16 s to optimize a
+    toy plan) — the batched UDF plans in milliseconds and the kernel is
+    a handful of vectorized int ops per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _hilbert(lon, lat):
+        hx, hy = hilbert_xy_np(lon.to_numpy(), lat.to_numpy())
+        import pandas as pd
+
+        return pd.Series(hilbert_np(hx, hy))
+
+    return df.withColumn(out, _hilbert(F.col(lon_e7), F.col(lat_e7)))
+
+
+def hilbert_oracle_cte(src: str, lon_e7: str = "lon_e7", lat_e7: str = "lat_e7") -> str:
+    """DuckDB chained-CTE computing the identical Hilbert key. ``src`` is a
+    relation exposing the coordinate columns plus anything to carry through
+    (carried columns must be SELECTed by the caller from the final CTE
+    ``hfin`` alongside ``hd``)."""
+    steps = [
+        f"h{HILBERT_ORDER} AS (SELECT *, "
+        f"(CAST({lon_e7} AS BIGINT) + {OFF_LON_E7}) // {HILBERT_DIV_LON} AS hx, "
+        f"(CAST({lat_e7} AS BIGINT) + {OFF_LAT_E7}) // {HILBERT_DIV_LAT} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM {src})"
+    ]
+    prev = f"h{HILBERT_ORDER}"
+    for b in range(HILBERT_ORDER - 1, -1, -1):
+        s = 1 << b
+        nxt = f"h{b}"
+        rx = f"((hx >> {b}) & 1)"
+        ry = f"((hy >> {b}) & 1)"
+        steps.append(
+            f"{nxt} AS (SELECT * REPLACE ("
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy, "
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd) FROM {prev})"
+        )
+        prev = nxt
+    steps.append(f"hfin AS (SELECT * FROM {prev})")
+    return ",\n".join(steps)
+
+
 def cell_sql(lon_e7: str, lat_e7: str, res: int, dialect: str = "duckdb") -> str:
     s = SIZE_E7[res]
     if dialect == "duckdb":

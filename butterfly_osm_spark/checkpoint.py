@@ -252,14 +252,23 @@ def reference_pipeline(fix: str) -> list[Stage]:
         return build_edges(ins["osm_ways"], ins["way_nodes_sorted"], ins["nodes_sorted"])
 
     def image_cells(spark, ins):
+        # O2 layout: partition by coarse cell, Hilbert-sorted within — the
+        # snap-index PackedPoint order (snap_index.rs:203-243), so range
+        # scans inside a cell touch spatially-contiguous row groups
         g = ins["image_geo"]
-        return g.select(
-            "image_id",
-            "lon_e7",
-            "lat_e7",
-            cells.cell_col("lon_e7", "lat_e7", 7).alias("cell_r7"),
-            cells.cell_col("lon_e7", "lat_e7", 12).alias("cell_r12"),
-        ).repartition("cell_r7")
+        return (
+            cells.with_hilbert(
+                g.select(
+                    "image_id",
+                    "lon_e7",
+                    "lat_e7",
+                    cells.cell_col("lon_e7", "lat_e7", 7).alias("cell_r7"),
+                    cells.cell_col("lon_e7", "lat_e7", 12).alias("cell_r12"),
+                )
+            )
+            .repartition("cell_r7")
+            .sortWithinPartitions("cell_r7", "hilbert")
+        )
 
     def pip_pairs(spark, ins):
         return pip_join(ins["image_cells"], ins["polygons"]).withColumnRenamed(
@@ -288,6 +297,6 @@ def reference_pipeline(fix: str) -> list[Stage]:
             [f"raw:{fix}/osm_ways.parquet", "way_nodes_sorted", "nodes_sorted"],
             version="2",
         ),
-        Stage("image_cells", image_cells, [f"raw:{fix}/image_geo.parquet"]),
+        Stage("image_cells", image_cells, [f"raw:{fix}/image_geo.parquet"], version="2"),
         Stage("pip_pairs", pip_pairs, ["image_cells", f"raw:{fix}/polygons.parquet"]),
     ]

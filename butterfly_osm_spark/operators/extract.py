@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import cells
 from ..geo import haversine_m_col, haversine_m_sql
 from ..functions.model import DEFAULT_MODEL, compile_way_attrs
 
@@ -128,6 +129,90 @@ def build_edges(ways: DataFrame, way_nodes: DataFrame, nodes: DataFrame, model=N
         F.col("n_pts").cast("int").alias("n_pts"),
         "length_mm",
     )
+
+
+def border_matrix(
+    ways: DataFrame,
+    way_nodes: DataFrame,
+    nodes: DataFrame,
+    res: int = 7,
+    model=None,
+) -> DataFrame:
+    """J14 cross-region overlay: per-(src,dst) region border matrix.
+
+    Reference semantics (route/src/server/overlay.rs:1-30): ways crossing a
+    region border contribute border nodes; the overlay keeps a small
+    per-(src,dst) matrix that bridges per-region engines. Graft analog:
+    regions are the 0.1-degree coarse cells (region_tiles.rs), a crossing
+    is a consecutive vertex pair of an included way whose cells differ, and
+    the matrix aggregates crossing count + min/total segment length —
+    exactly the broadcast-able "border table" a partition-bridging join
+    consumes. Directed by way traversal order (W5).
+
+    Output: (src_region, dst_region, n_cross, min_seg_mm, total_seg_mm).
+    """
+    included = included_way_ids(ways, model)
+    wv = way_vertices(way_nodes.join(included, "way_id", "left_semi"), nodes)
+    w_seq = Window.partitionBy("way_id").orderBy("seq")
+    pairs = wv.select(
+        "way_id",
+        "seq",
+        "lat_e7",
+        "lon_e7",
+        cells.cell_col("lon_e7", "lat_e7", res).alias("src_region"),
+        F.lead("lat_e7").over(w_seq).alias("nxt_lat"),
+        F.lead("lon_e7").over(w_seq).alias("nxt_lon"),
+    ).filter(F.col("nxt_lat").isNotNull())
+    pairs = pairs.withColumn(
+        "dst_region", cells.cell_col("nxt_lon", "nxt_lat", res)
+    ).filter(F.col("src_region") != F.col("dst_region"))
+    seg_mm = F.round(
+        haversine_m_col("lon_e7", "lat_e7", "nxt_lon", "nxt_lat") * 1000
+    ).cast("long")
+    return (
+        pairs.withColumn("seg_mm", seg_mm)
+        .groupBy("src_region", "dst_region")
+        .agg(
+            F.count(F.lit(1)).alias("n_cross"),
+            F.min("seg_mm").alias("min_seg_mm"),
+            F.sum("seg_mm").alias("total_seg_mm"),
+        )
+    )
+
+
+def border_matrix_oracle_sql(fix: str, res: int = 7, model=None) -> str:
+    """DuckDB replication of border_matrix (same CTE algebra as edges)."""
+    model = model or DEFAULT_MODEL
+    classes = sorted({c for m in model.values() for c in m})
+    cls_list = ", ".join(f"'{c}'" for c in classes)
+    src_cell = cells.cell_sql("lon_e7", "lat_e7", res)
+    dst_cell = cells.cell_sql("nxt_lon", "nxt_lat", res)
+    hav = haversine_m_sql("lon_e7", "lat_e7", "nxt_lon", "nxt_lat")
+    return f"""
+WITH included AS (
+  SELECT DISTINCT way_id FROM read_parquet('{fix}/way_tags.parquet')
+  WHERE key = 'highway' AND value IN ({cls_list})
+), wv AS (
+  SELECT w.way_id, w.seq, n.lat_e7, n.lon_e7
+  FROM read_parquet('{fix}/way_nodes.parquet') w
+  JOIN included i ON w.way_id = i.way_id
+  JOIN read_parquet('{fix}/osm_nodes.parquet') n ON w.node_id = n.id
+), pairs AS (
+  SELECT way_id, seq, lat_e7, lon_e7,
+         lead(lat_e7) OVER w AS nxt_lat,
+         lead(lon_e7) OVER w AS nxt_lon
+  FROM wv WINDOW w AS (PARTITION BY way_id ORDER BY seq)
+), crossings AS (
+  SELECT {src_cell} AS src_region, {dst_cell} AS dst_region,
+         CAST(round({hav} * 1000) AS BIGINT) AS seg_mm
+  FROM pairs WHERE nxt_lat IS NOT NULL AND {src_cell} <> {dst_cell})
+SELECT src_region, dst_region,
+       count(*) AS n_cross,
+       min(seg_mm) AS min_seg_mm,
+       sum(seg_mm) AS total_seg_mm
+FROM crossings
+GROUP BY src_region, dst_region
+"""
 
 
 def edges_oracle_sql(fix: str, model=None) -> str:

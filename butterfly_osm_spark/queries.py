@@ -76,6 +76,39 @@ def sql_extract_edges(sf: str = ORACLE_SF) -> str:
     return edges_oracle_sql(_oracle_fix(sf))
 
 
+def q_border_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 cross-region overlay: directed (src,dst) region border matrix."""
+    from .operators.extract import border_matrix
+
+    fix = _fix(sf_dir)
+    return border_matrix(
+        _read(spark, fix, "osm_ways"), _read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes")
+    )
+
+
+def sql_border_matrix(sf: str = ORACLE_SF) -> str:
+    from .operators.extract import border_matrix_oracle_sql
+
+    return border_matrix_oracle_sql(_oracle_fix(sf))
+
+
+def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 locality key: order-16 Hilbert distance per node (the sort key the
+    snap-index layout uses within cells, snap_index.rs:203-243)."""
+    fix = _fix(sf_dir)
+    return cells.with_hilbert(_read(spark, fix, "osm_nodes").select("id", "lon_e7", "lat_e7")).select(
+        "id", "hilbert"
+    )
+
+
+def sql_hilbert_index(sf: str = ORACLE_SF) -> str:
+    fix = _oracle_fix(sf)
+    cte = cells.hilbert_oracle_cte(
+        f"(SELECT id, lon_e7, lat_e7 FROM read_parquet('{fix}/osm_nodes.parquet'))"
+    )
+    return f"WITH {cte} SELECT id, hd AS hilbert FROM hfin"
+
+
 # ---------------------------------------------------------------------------
 # A4/J10: region tile set (0.1-degree coarse coverage, region_tiles.rs)
 # ---------------------------------------------------------------------------
@@ -811,6 +844,8 @@ def sql_elev_profile(sf: str = ORACLE_SF) -> str:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_attrs": q_way_attrs,
     "extract_edges": q_extract_edges,
+    "border_matrix": q_border_matrix,
+    "hilbert_index": q_hilbert_index,
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
     "pip_images": q_pip_images,
@@ -862,6 +897,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, Callable[..., str]] = {
     "way_attrs": sql_way_attrs,
     "extract_edges": sql_extract_edges,
+    "border_matrix": sql_border_matrix,
+    "hilbert_index": sql_hilbert_index,
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,
     "pip_images": sql_pip_images,
