@@ -159,7 +159,16 @@ def _candidates(
 def _rank_topk(cand: DataFrame, cutoff_m: float) -> DataFrame:
     # sort-based rank window, NOT a collect_list/array_sort agg: measured
     # 2x faster on 11M-candidate phases (ObjectHashAggregate array churn
-    # loses to Tungsten radix sort) and the shuffle volume is identical
+    # loses to Tungsten radix sort) and the shuffle volume is identical.
+    # Also measured and REJECTED: adding a literal `rank <= kmax` conjunct
+    # to trigger Spark 4's WindowGroupLimit rank pushdown (`rank <= k` is
+    # a column predicate, which the rule can't use). The partial
+    # WindowGroupLimit pre-sorts every map partition by (query_id, d2,
+    # node_id) BEFORE the exchange — an extra full local sort of the 11M
+    # candidates that cost 3.5x (26 s vs 7.4 s alternating A/B at
+    # sf0.1/local[32]) and only trims shuffle bytes, which a post-shuffle
+    # single sort handles cheaper here. Worth re-testing on a real
+    # network-bound cluster; locally the plain window wins.
     w = Window.partitionBy("query_id").orderBy("d2", "node_id")
     return (
         cand.filter(F.col("d2") <= F.lit(cutoff_m * cutoff_m))
