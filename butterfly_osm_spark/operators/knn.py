@@ -95,6 +95,14 @@ def adaptive_res(targets: DataFrame, occ_target: int = OCC_TARGET) -> int:
     return RES_CEIL
 
 
+# broadcast the exploded query-cell side only below this row count: ~4M
+# rows x ~40 B is a few hundred MB of driver assembly — beyond it the
+# "bounded request batch" assumption no longer holds and the plan must
+# fall back to a shuffle join (measured: an unconditional hint OOM-killed
+# the sf4/local[2] scaling level at 24M exploded rows)
+BROADCAST_MAX_ROWS = 4_000_000
+
+
 def _candidates(
     queries: DataFrame,
     targets_cells: DataFrame,
@@ -103,6 +111,7 @@ def _candidates(
     ry: int,
     prev_rx: int = -1,
     prev_ry: int = -1,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Explode queries by the (2rx+1)x(2ry+1) cell rectangle — MINUS the
     previously-covered (2prev_rx+1)x(2prev_ry+1) rectangle (ring-shell
@@ -138,16 +147,23 @@ def _candidates(
             "qlon",
             "qlat",
             "k",
+            # dy/dx are ints from sequence(); the step multiply MUST be
+            # long — dy * 2^28 overflows int32 for |dy| >= 8 (fine
+            # resolutions), and ANSI mode (Spark 4 default) fails the task
             (
-                F.col("qcell") + F.col("dy") * F.lit(1 << cells.Y_SHIFT) + F.col("dx")
+                F.col("qcell")
+                + F.col("dy").cast("long") * F.lit(1 << cells.Y_SHIFT).cast("long")
+                + F.col("dx").cast("long")
             ).alias("cell_id"),
         )
     )
     # queries are the reference's bounded request batch (snap server
     # semantics) — broadcast the exploded query-cell side so the target
     # table streams through a broadcast join with NO shuffle by cell; the
-    # only full shuffle left in a phase is the candidate->query_id agg.
-    j = targets_cells.join(F.broadcast(q), "cell_id", "inner")
+    # only full shuffle left in a phase is the candidate->query_id rank.
+    # The caller disables the hint when the batch is NOT small (guard in
+    # knn_join) — then Catalyst/AQE plans the join from runtime stats.
+    j = targets_cells.join(F.broadcast(q) if broadcast_queries else q, "cell_id", "inner")
     return j.select(
         "query_id",
         "k",
@@ -232,6 +248,14 @@ def knn_join(
         .distinct()
     )
 
+    # data-driven broadcast decision: the hint is only safe while the
+    # WIDEST phase's exploded query-cell side stays driver-assemblable.
+    # One cheap count of the query table decides for the whole loop
+    # (remaining only shrinks), same spirit as adaptive_res.
+    n_queries = queries.count()
+    max_offsets = (2 * rx_max + 1) * (2 * ry_max + 1)
+    bcast = n_queries * max_offsets <= BROADCAST_MAX_ROWS
+
     remaining = q_live
     carried: DataFrame | None = None  # top-k-so-far of still-open queries
     parts: list[DataFrame] = []
@@ -243,7 +267,7 @@ def knn_join(
         # only the NEW shell of cells is scanned this phase; the inner
         # rectangle's contribution is the carried top-k partial (any point
         # outside a query's inner top-k can never enter the global top-k)
-        cand = _candidates(remaining, tc, res, rx, ry, prev_rx, prev_ry)
+        cand = _candidates(remaining, tc, res, rx, ry, prev_rx, prev_ry, broadcast_queries=bcast)
         if carried is not None:
             cand = cand.unionByName(carried)
         ranked = _rank_topk(cand, cutoff_m)
