@@ -221,3 +221,16 @@ print("PIP_LOCAL32_OK", len(got))
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     assert "PIP_LOCAL32_OK" in proc.stdout
+
+
+def test_knn_res_invariance_fine_res_offsets(spark, fix001):
+    """Results must be identical at any working resolution; res 13 forces
+    |dy| >= 8 ring offsets, the int32-overflow regression zone (the step
+    multiply must be long — ANSI mode fails the task otherwise)."""
+    from butterfly_osm_spark.operators.knn import knn_join
+
+    q = spark.read.parquet(f"{fix001}/query_points.parquet")
+    n = spark.read.parquet(f"{fix001}/osm_nodes.parquet")
+    a = sorted(map(tuple, knn_join(q, n, res=10).collect()))
+    b = sorted(map(tuple, knn_join(q, n, res=13).collect()))
+    assert a == b
