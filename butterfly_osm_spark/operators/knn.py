@@ -41,7 +41,13 @@ from .. import cells
 from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON, equirect_d2_col, equirect_d2_sql
 
 CUTOFF_M = 5_000.0  # reference SNAP_CUTOFF (spatial.rs:9)
-OCC_TARGET = 64  # p95 cell occupancy ceiling (reference warns >8192/cell)
+# p95 cell occupancy ceiling (reference warns >8192/cell). Measured at
+# sf0.1/local[32] with the (2,8) ring schedule: target 16 (-> res 11,
+# ~275 candidates/query in phase 1) beats target 64 (-> res 10, ~1100)
+# 2x on honest repeats (5.3-9.1 s vs 9.6-84 s) with identical results —
+# candidate volume dominates; the finer grid still covers the cutoff in
+# the same two phases.
+OCC_TARGET = 16
 RES_FLOOR, RES_CEIL = 7, 13
 # phase schedule: R = R0, R0*G, ... — measured at sf0.1/local[32]:
 # (R0=2, G=8) resolves ~all queries in phase 1 (25-cell rect at p95
