@@ -41,13 +41,17 @@ from .. import cells
 from ..geo import M_PER_DEG_LAT, M_PER_DEG_LON, equirect_d2_col, equirect_d2_sql
 
 CUTOFF_M = 5_000.0  # reference SNAP_CUTOFF (spatial.rs:9)
-# p95 cell occupancy ceiling (reference warns >8192/cell). Measured at
-# sf0.1/local[32] with the (2,8) ring schedule: target 16 (-> res 11,
-# ~275 candidates/query in phase 1) beats target 64 (-> res 10, ~1100)
-# 2x on honest repeats (5.3-9.1 s vs 9.6-84 s) with identical results —
-# candidate volume dominates; the finer grid still covers the cutoff in
-# the same two phases.
-OCC_TARGET = 16
+# p95 cell occupancy ceiling (reference warns >8192/cell). The density
+# pick is then refined finer while the phase-2 ring still covers the
+# cutoff — see knn_join. Measured (honest repeats, results identical):
+#   sf0.1: res 11 5.3-9.1 s < res 10 9.6-84 s < res 9 18-27 s
+#   sf1:   res 12 87 s      < res 11 220 s    < res 13 ~490 s
+# i.e. finer wins (candidate volume dominates) EXCEPT when the finer
+# grid's cover radius outgrows the R0*growth phase-2 rectangle — then
+# open queries hit 1000+-cell shells and the join explodes (the sf1
+# res-13 cliff). Occupancy target 64 + covering refinement picks the
+# measured winner at both scales.
+OCC_TARGET = 64
 RES_FLOOR, RES_CEIL = 7, 13
 # phase schedule: R = R0, R0*G, ... — measured at sf0.1/local[32]:
 # (R0=2, G=8) resolves ~all queries in phase 1 (25-cell rect at p95
@@ -216,6 +220,16 @@ def knn_join(
     """
     if res is None:
         res = adaptive_res(targets)
+        # covering refinement: go finer (4x less candidate volume per
+        # level) while the R0*growth phase-2 rectangle still covers the
+        # cutoff — past that point open queries meet 1000+-cell shells
+        # (measured res-13 cliff at sf1, ~490 s vs 87 s at res 12)
+        while res < RES_CEIL:
+            nlon, nlat = _edge_m(res + 1)
+            if max(int(cutoff_m / nlon) + 1, int(cutoff_m / nlat) + 1) <= r0 * ring_growth:
+                res += 1
+            else:
+                break
     tc = targets.select(
         F.col(target_id).alias("node_id"),
         F.col("lon_e7").alias("nlon"),
