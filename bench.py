@@ -72,7 +72,11 @@ def run_once(sf_dir: str, cpus: int) -> dict:
     from pyspark.sql import functions as F
 
     spark.range(100000).select(F.sum(F.hash("id"))).collect()
-    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).limit(1).count()
+    import glob as _glob
+
+    some_parquet = sorted(_glob.glob(os.path.join(sf_dir, "*.parquet")))
+    if some_parquet:
+        spark.read.parquet(some_parquet[0]).limit(1).count()
     # spin up the Arrow/pandas Python worker pool (one daemon per core on
     # first pandas-UDF stage — session startup, not query work)
     spark.range(64, numPartitions=32).groupBy("id").applyInPandas(
