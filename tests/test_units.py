@@ -234,3 +234,15 @@ def test_knn_res_invariance_fine_res_offsets(spark, fix001):
     a = sorted(map(tuple, knn_join(q, n, res=10).collect()))
     b = sorted(map(tuple, knn_join(q, n, res=13).collect()))
     assert a == b
+
+
+def test_registry_contract_consistency():
+    """Driver-contract invariants: every oracle has a query, every bench
+    headline query is registered and oracled, aliases stay in sync."""
+    import bench as bench_mod
+    from butterfly_osm_spark.queries import ORACLES, QUERIES
+
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(ORACLES) == set(QUERIES), "every registered query must be oracled"
+    for name in bench_mod.HEADLINE + bench_mod.SCALING_SUITE:
+        assert name in QUERIES, name
