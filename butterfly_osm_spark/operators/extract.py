@@ -209,7 +209,7 @@ WITH included AS (
 SELECT src_region, dst_region,
        count(*) AS n_cross,
        min(seg_mm) AS min_seg_mm,
-       sum(seg_mm) AS total_seg_mm
+       CAST(sum(seg_mm) AS BIGINT) AS total_seg_mm
 FROM crossings
 GROUP BY src_region, dst_region
 """
