@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "11"
+FIXTURE_VERSION = "13"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -100,6 +100,7 @@ def _counts(sf: str) -> dict[str, int]:
         "images": max(500, int(20000 * scale)),
         "queries": max(150, int(1500 * scale)),
         "polygons": 200,
+        "relations": max(40, int(400 * scale)),
     }
 
 
@@ -246,6 +247,127 @@ def _gen_ways_nodes(rng: np.random.Generator, n_ways: int, n_extra: int):
         "tag_vals": vals_all,
         "V": V,
     }
+
+
+# ---------------------------------------------------------------------------
+# relations (S3: turn restrictions; reference route/src/ingest/mod.rs:253-329,
+# route/src/formats/relations.rs, route/src/model/profiling.rs:570-588)
+# ---------------------------------------------------------------------------
+
+
+RESTR_BAN = ["no_left_turn", "no_right_turn", "no_u_turn", "no_straight_on", "no_entry"]
+RESTR_ONLY = ["only_right_turn", "only_left_turn", "only_straight_on"]
+
+
+def _gen_relations(rng: np.random.Generator, wn: dict, n_rel: int):
+    """OSM relations with a restriction-heavy mix exercising every branch of
+    the ingest filter and triple extraction: valid from/via/to triples over
+    genuinely shared intersection nodes, duplicate roles (last-wins),
+    incomplete / wrong-kind triples (dropped), relation-kind decoy members
+    (ignored), restriction:<mode> key-only matches (kept by key prefix),
+    except tags, and non-restriction relations (filtered at scan).
+
+    Returns (relations nested table, relation_members flat, relation_tags
+    flat) — the flat tables are the DuckDB oracle's input, same rows."""
+    vn = wn["vert_node_id"]
+    wid = wn["way_ids"][wn["way_of"]]
+    pairs = np.unique(np.stack([vn, wid], axis=1), axis=0)  # sorted by node
+    nodes_u, starts_u, counts_u = np.unique(pairs[:, 0], return_index=True, return_counts=True)
+    mask = counts_u >= 2
+    sh_nodes, sh_starts, sh_counts = nodes_u[mask], starts_u[mask], counts_u[mask]
+    all_nodes, all_ways = wn["node_ids"], wn["way_ids"]
+    rel_ids = np.cumsum(rng.integers(1, 100, n_rel)).astype(np.int64)
+
+    members_all: list[list[tuple[str, str, int]]] = []
+    tags_all: list[list[tuple[str, str]]] = []
+    for r in range(n_rel):
+        u = rng.random()
+        j = int(rng.integers(0, len(sh_nodes)))
+        via = int(sh_nodes[j])
+        ws = pairs[sh_starts[j]: sh_starts[j] + sh_counts[j], 1]
+        fw = int(ws[rng.integers(0, len(ws))])
+        tw = int(ws[rng.integers(0, len(ws))])  # fw==tw allowed (u-turns)
+        v = rng.random()
+        if v < 0.68:
+            val = RESTR_BAN[int(rng.integers(0, len(RESTR_BAN)))]
+        elif v < 0.93:
+            val = RESTR_ONLY[int(rng.integers(0, len(RESTR_ONLY)))]
+        else:
+            val = "give_way"  # unknown kind -> TurnRuleKind::None, dropped
+        mem = [("from", "way", fw), ("via", "node", via), ("to", "way", tw)]
+        tags = [("type", "restriction"), ("restriction", val)]
+        if u < 0.50:  # plain valid restriction
+            if rng.random() < 0.30:
+                mem = [mem[i] for i in rng.permutation(3)]
+            if rng.random() < 0.15:  # relation-kind member: ignored at ingest
+                mem.append(("via", "relation", int(rel_ids[max(0, r - 1)])))
+            if rng.random() < 0.20:
+                tags.append(("except", ["bicycle", "psv", "emergency"][int(rng.integers(0, 3))]))
+            b = rng.random()  # broken topology (common in real OSM): via not on a way
+            if b < 0.08:
+                mem = [("to", "way", int(all_ways[rng.integers(0, len(all_ways))]))
+                       if m[0] == "to" else m for m in mem]
+            elif b < 0.16:
+                mem = [("from", "way", int(all_ways[rng.integers(0, len(all_ways))]))
+                       if m[0] == "from" else m for m in mem]
+        elif u < 0.60:  # duplicate roles prepended -> last-wins must pick real
+            bogus_n = int(all_nodes[rng.integers(0, len(all_nodes))])
+            bogus_w = int(all_ways[rng.integers(0, len(all_ways))])
+            mem = [("via", "node", bogus_n), ("from", "way", bogus_w)] + mem
+        elif u < 0.70:  # incomplete / wrong-kind triple -> skipped
+            w2 = rng.random()
+            if w2 < 0.4:
+                mem = [m for m in mem if m[0] != "to"]
+            elif w2 < 0.7:
+                mem = [("from", "way", fw), ("via", "way", fw), ("to", "way", tw)]
+            else:
+                mem = [m for m in mem if m[0] != "from"]
+        elif u < 0.78:  # restriction:<mode> key-only ingest match (no type tag)
+            mode_key = ["restriction:hgv", "restriction:motorcar", "restriction:conditional"][
+                int(rng.integers(0, 3))
+            ]
+            mval = val + (" @ (Mo-Fr 07:00-19:00)" if mode_key.endswith("conditional") else "")
+            tags = [(mode_key, mval)]
+        else:  # non-restriction relation -> filtered at scan
+            rtype = ["route", "multipolygon", "boundary"][int(rng.integers(0, 3))]
+            tags = [("type", rtype), ("name", f"Rel {rel_ids[r]}")]
+            mem = [
+                ("outer", "way", int(all_ways[rng.integers(0, len(all_ways))]))
+                for _ in range(int(rng.integers(1, 5)))
+            ]
+        members_all.append(mem)
+        tags_all.append(tags)
+
+    roles = pa.array([x[0] for m in members_all for x in m])
+    kinds = pa.array([x[1] for m in members_all for x in m])
+    refs = pa.array(np.array([x[2] for m in members_all for x in m], dtype=np.int64))
+    m_off = np.concatenate([[0], np.cumsum([len(m) for m in members_all])]).astype(np.int32)
+    mstruct = pa.StructArray.from_arrays([roles, kinds, refs], names=["role", "kind", "ref"])
+    members_arr = pa.ListArray.from_arrays(pa.array(m_off), mstruct)
+    t_off = np.concatenate([[0], np.cumsum([len(t) for t in tags_all])]).astype(np.int32)
+    tags_arr = pa.MapArray.from_arrays(
+        pa.array(t_off),
+        pa.array([k for t in tags_all for k, _ in t]),
+        pa.array([v for t in tags_all for _, v in t]),
+    )
+    relations = pa.table({"id": pa.array(rel_ids), "members": members_arr, "tags": tags_arr})
+    rel_members = pa.table(
+        {
+            "relation_id": pa.array(np.repeat(rel_ids, [len(m) for m in members_all])),
+            "pos": pa.array(np.concatenate([np.arange(len(m), dtype=np.int32) for m in members_all])),
+            "role": roles,
+            "kind": kinds,
+            "ref": refs,
+        }
+    )
+    rel_tags = pa.table(
+        {
+            "relation_id": pa.array(np.repeat(rel_ids, [len(t) for t in tags_all])),
+            "key": pa.array([k for t in tags_all for k, _ in t]),
+            "value": pa.array([v for t in tags_all for _, v in t]),
+        }
+    )
+    return relations, rel_members, rel_tags
 
 
 # ---------------------------------------------------------------------------
@@ -733,7 +855,7 @@ def generate(sf: str, out_dir: str) -> None:
     # independent child streams per table: editing one generator never
     # reshuffles the other tables' data
     streams = {k: np.random.default_rng([SEED, i]) for i, k in enumerate(
-        ["ways", "images", "polygons", "queries", "raster", "observations"]
+        ["ways", "images", "polygons", "queries", "raster", "observations", "relations"]
     )}
     c = _counts(sf)
 
@@ -789,6 +911,11 @@ def generate(sf: str, out_dir: str) -> None:
             }
         ),
     )
+
+    relations, rel_members, rel_tags = _gen_relations(streams["relations"], wn, c["relations"])
+    _write(out_dir, "relations", relations)
+    _write(out_dir, "relation_members", rel_members)
+    _write(out_dir, "relation_tags", rel_tags)
 
     images, geo, image_truth = _gen_images(streams["images"], c["images"])
     _write(out_dir, "images", images)

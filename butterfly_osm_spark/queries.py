@@ -92,6 +92,22 @@ def sql_border_matrix(sf: str = ORACLE_SF) -> str:
     return border_matrix_oracle_sql(_oracle_fix(sf))
 
 
+def q_restriction_arcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 relation scan + turn-restriction triple extraction with topology
+    validation (reference route/src/ingest/mod.rs:253-329,
+    route/src/model/profiling.rs:570-588)."""
+    from .operators.relations import restriction_arcs
+
+    fix = _fix(sf_dir)
+    return restriction_arcs(_read(spark, fix, "relations"), _read(spark, fix, "way_nodes"))
+
+
+def sql_restriction_arcs(sf: str = ORACLE_SF) -> str:
+    from .operators.relations import restriction_arcs_oracle_sql
+
+    return restriction_arcs_oracle_sql(_oracle_fix(sf))
+
+
 def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 locality key: order-16 Hilbert distance per node (the sort key the
     snap-index layout uses within cells, snap_index.rs:203-243)."""
@@ -845,6 +861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "way_attrs": q_way_attrs,
     "extract_edges": q_extract_edges,
     "border_matrix": q_border_matrix,
+    "restriction_arcs": q_restriction_arcs,
     "hilbert_index": q_hilbert_index,
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
@@ -898,6 +915,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "way_attrs": sql_way_attrs,
     "extract_edges": sql_extract_edges,
     "border_matrix": sql_border_matrix,
+    "restriction_arcs": sql_restriction_arcs,
     "hilbert_index": sql_hilbert_index,
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,
