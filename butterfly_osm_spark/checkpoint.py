@@ -174,22 +174,39 @@ class Build:
         out = self._out_path(stage.name)
         schema_ddl = None
         if stage.bucket:
+            # same write-to-tmp -> rename commit discipline as the
+            # non-bucketed path: a crash mid-write can only ever leave a
+            # stale .tmp dir, never a partial dir at the published location
             n_buckets, key = stage.bucket
             tbl = self._table_name(stage.name)
-            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-            if os.path.exists(out):
-                shutil.rmtree(out)
+            tmp_tbl = tbl + "_tmp"
+            tmp = out + ".tmp"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
             (
                 df.write.bucketBy(n_buckets, key)
                 .sortBy(key)
-                .option("path", out)
+                .option("path", tmp)
                 .format("parquet")
                 .mode("overwrite")
-                .saveAsTable(tbl)
+                .saveAsTable(tmp_tbl)
             )
-            published = self.spark.table(tbl)
-            schema_ddl = published._jdf.schema().toDDL()
-            parts = _partition_counts(published)
+            staged = self.spark.table(tmp_tbl)
+            schema_ddl = staged._jdf.schema().toDDL()
+            parts = _partition_counts(staged)
+            # commit: drop tmp metadata (external table — data stays),
+            # swap dirs, re-point the catalog at the published location
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+            self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({schema_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS "
+                f"LOCATION '{out}'"
+            )
         else:
             tmp = out + ".tmp"
             if os.path.exists(tmp):

@@ -279,6 +279,7 @@ def knn_join(
     remaining = q_live
     carried: DataFrame | None = None  # top-k-so-far of still-open queries
     parts: list[DataFrame] = []
+    phase_frames: list[DataFrame] = []  # persisted partials, released below
     R = r0
     prev_rx = prev_ry = -1
     while True:
@@ -295,6 +296,7 @@ def knn_join(
             parts.append(ranked)
             break
         ranked = ranked.persist()
+        phase_frames.append(ranked)
         bound_m = min(R * min_edge, cutoff_m)
         kth = ranked.groupBy("query_id").agg(
             F.max("rank").alias("n_found"), F.max("d2").alias("kth_d2"), F.first("k").alias("k")
@@ -315,12 +317,22 @@ def knn_join(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.select(
+    out = out.select(
         "query_id",
         F.col("rank").cast("int").alias("rank"),
         "node_id",
         F.round(F.sqrt("d2"), 3).alias("dist_m"),
     )
+    if phase_frames:
+        # materialize the (bounded: <= sum(k) rows) result once, then
+        # release every per-phase partial — previously the partials stayed
+        # cached for the session lifetime and contaminated later
+        # measurements (bench worked around it with clearCache)
+        out = out.persist()
+        out.count()
+        for f in phase_frames:
+            f.unpersist()
+    return out
 
 
 def knn_oracle_sql(fix: str, cutoff_m: float = CUTOFF_M) -> str:

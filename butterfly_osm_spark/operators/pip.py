@@ -46,6 +46,11 @@ from .. import cells
 MAX_COVER_CELLS = 256
 MIN_RES, MAX_RES = 7, 13
 REFINE_SALTS = 8  # split per-polygon ray-cast groups (point-independent)
+# broadcast the polygon cover set only below this row count (same gate
+# rationale as operators.knn.BROADCAST_MAX_ROWS: the "request-sized
+# polygon set" assumption is an input property, not an invariant — a
+# million-polygon overlay must shuffle-join on cell_id instead)
+BROADCAST_MAX_ROWS = 4_000_000
 
 _COVER_SCHEMA = StructType(
     [
@@ -157,6 +162,11 @@ def pip_join(
     (even-odd). Points exactly on edges follow the raycast convention."""
     cover = polygon_cover_cells(polygons).persist()
     res_list = sorted(r["res"] for r in cover.select("res").distinct().collect())
+    # cover is bounded per polygon (MAX_COVER_CELLS) but NOT in polygon
+    # count — broadcast only below the same row gate knn uses, else fall
+    # back to a shuffle join on cell_id (cover is already persisted, so
+    # the count is a cheap cached-scan aggregate)
+    cover_rows = cover.count()
 
     # ONE point scan + ONE broadcast join: each point emits its cell id at
     # every resolution present in the cover (res is packed inside the id,
@@ -170,9 +180,12 @@ def pip_join(
             F.array(*[cells.cell_col(lon_col, lat_col, res) for res in res_list])
         ).alias("cell_id"),
     )
-    cand = pts.join(
-        F.broadcast(cover.select("cell_id", "polygon_id", "coverage")), "cell_id", "inner"
-    ).select("point_id", "px", "py", "polygon_id", "coverage")
+    cov_sel = cover.select("cell_id", "polygon_id", "coverage")
+    if cover_rows <= BROADCAST_MAX_ROWS:
+        cov_sel = F.broadcast(cov_sel)
+    cand = pts.join(cov_sel, "cell_id", "inner").select(
+        "point_id", "px", "py", "polygon_id", "coverage"
+    )
 
     full_hits = cand.filter(F.col("coverage") == "full").select("point_id", "polygon_id")
     # ray-casting is per-point independent, so a dense polygon's candidate

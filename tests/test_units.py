@@ -223,6 +223,38 @@ print("PIP_LOCAL32_OK", len(got))
     assert "PIP_LOCAL32_OK" in proc.stdout
 
 
+def test_pip_broadcast_gate_fallback_parity(spark, fix001, monkeypatch):
+    """With the cover-broadcast gate forced shut (BROADCAST_MAX_ROWS=0) the
+    shuffle-join fallback must produce the identical (point, polygon) set —
+    the gate is a plan choice, never a semantics choice."""
+    import duckdb
+
+    from butterfly_osm_spark.operators import pip
+
+    points = spark.read.parquet(fix001 + "/image_geo.parquet")
+    polygons = spark.read.parquet(fix001 + "/polygons.parquet")
+    monkeypatch.setattr(pip, "BROADCAST_MAX_ROWS", 0)
+    got = sorted((r.point_id, r.polygon_id) for r in pip.pip_join(points, polygons).collect())
+    want = sorted(map(tuple, duckdb.sql(pip.pip_oracle_sql(fix001)).fetchall()))
+    assert got == want
+
+
+def test_knn_releases_phase_caches(spark, fix001):
+    """knn_join must not leak per-phase persisted partials into the session:
+    after the call, at most the (bounded) result frame itself is cached."""
+    from butterfly_osm_spark.operators.knn import knn_join
+
+    spark.catalog.clearCache()
+    df = knn_join(
+        spark.read.parquet(fix001 + "/query_points.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    )
+    df.count()
+    cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert cached <= 1, f"{cached} RDDs still cached after knn_join"
+    spark.catalog.clearCache()
+
+
 def test_knn_res_invariance_fine_res_offsets(spark, fix001):
     """Results must be identical at any working resolution; res 13 forces
     |dy| >= 8 ring offsets, the int32-overflow regression zone (the step
