@@ -59,3 +59,65 @@ def test_per_partition_lineage_recorded(spark, fix001, tmp_path):
         assert m["row_count"] == sum(m["partition_rows"])
         meta = json.load(open(os.path.join(bd, "_checkpoint", f"{m['stage']}.json")))
         assert meta["fingerprint"] == m["fingerprint"]
+
+
+def test_result_cache_warm_hit_skips_compute(spark, fix001, tmp_path):
+    """C1 (avoid.rs:27-135): second request with the same canonical
+    polygon-set key must answer from the keyed result table without
+    invoking the PIP/refine compute at all."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from butterfly_osm_spark.checkpoint import ResultCache, cached_pip_join, polyset_key
+
+    points = spark.read.parquet(os.path.join(fix001, "image_geo.parquet"))
+    polygons = spark.read.parquet(os.path.join(fix001, "polygons.parquet"))
+    cache = ResultCache(spark, str(tmp_path / "rescache"))
+
+    calls = {"n": 0}
+    import butterfly_osm_spark.operators.pip as pip_mod
+
+    real_pip = pip_mod.pip_join
+
+    def counting_pip(*a, **kw):
+        calls["n"] += 1
+        return real_pip(*a, **kw)
+
+    pip_mod.pip_join = counting_pip
+    try:
+        t0 = _time.time()
+        first = sorted(map(tuple, cached_pip_join(spark, cache, points, polygons).collect()))
+        miss_s = _time.time() - t0
+        t0 = _time.time()
+        second = sorted(
+            map(
+                tuple,
+                cached_pip_join(
+                    spark, cache, points, polygons.orderBy(F.desc("polygon_id"))
+                ).collect(),
+            )
+        )
+        hit_s = _time.time() - t0
+    finally:
+        pip_mod.pip_join = real_pip
+
+    assert calls["n"] == 1, "warm hit must not re-run the PIP compute"
+    assert first == second and len(first) > 0
+    assert cache.lineage[0]["hit"] is False and cache.lineage[1]["hit"] is True
+    assert hit_s < miss_s, f"hit {hit_s:.2f}s not faster than miss {miss_s:.2f}s"
+
+
+def test_polyset_key_ring_rotation_invariant(spark, fix001):
+    """The cache key survives ring-start rotation (Booth canonicalisation):
+    the same polygons with every ring rotated by one vertex share the key."""
+    from pyspark.sql import functions as F
+
+    from butterfly_osm_spark.checkpoint import polyset_key
+
+    polygons = spark.read.parquet(os.path.join(fix001, "polygons.parquet")).limit(20)
+    rotated = polygons.select(
+        "polygon_id",
+        F.expr("concat(slice(ring, 2, size(ring) - 1), slice(ring, 1, 1))").alias("ring"),
+    )
+    assert polyset_key(polygons) == polyset_key(rotated)
