@@ -292,6 +292,15 @@ def reference_pipeline(fix: str) -> list[Stage]:
             "point_id", "image_id"
         )
 
+    def restriction_arcs_stage(spark, ins):
+        # S3: turn-restriction rules sorted by relation id (the reference's
+        # relations.raw determinism contract, formats/relations.rs)
+        from .operators.relations import restriction_arcs
+
+        return restriction_arcs(ins["relations"], ins["way_nodes_sorted"]).orderBy(
+            "relation_id"
+        )
+
     return [
         Stage(
             "nodes_sorted",
@@ -316,6 +325,11 @@ def reference_pipeline(fix: str) -> list[Stage]:
         ),
         Stage("image_cells", image_cells, [f"raw:{fix}/image_geo.parquet"], version="2"),
         Stage("pip_pairs", pip_pairs, ["image_cells", f"raw:{fix}/polygons.parquet"]),
+        Stage(
+            "restriction_arcs",
+            restriction_arcs_stage,
+            [f"raw:{fix}/relations.parquet", "way_nodes_sorted"],
+        ),
     ]
 
 
