@@ -317,15 +317,27 @@ def make_chunks_udf(dim: int, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND)
 
 
 def lsh_candidates(
-    embeddings: DataFrame, dim: int = 64, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (vec_id, neighbor_id) candidate pairs from the band-chunk
-    bucket join (vec_id != neighbor_id, both directions kept for top-k)."""
+    bucket join (vec_id != neighbor_id, both directions kept for top-k).
+
+    ``query_ids`` (a one-column ``vec_id`` frame) restricts the QUERY side
+    to a subset while the corpus side stays full — the production "query
+    batch vs corpus" shape; the bucket join then produces only the sampled
+    queries' candidates."""
     ch = make_chunks_udf(dim, n_bands, bits)
     bands = (
         embeddings.select("vec_id", F.posexplode(ch("embedding")).alias("band_id", "chunk"))
     )
-    a = bands.alias("a")
+    qside = bands
+    if query_ids is not None:
+        qside = bands.join(F.broadcast(query_ids), "vec_id", "left_semi")
+    a = qside.alias("a")
     b = bands.alias("b")
     return (
         a.join(
@@ -345,12 +357,14 @@ def cosine_topk_lsh(
     dim: int = 64,
     n_bands: int = N_BANDS,
     bits: int = BITS_PER_BAND,
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-sketch band join -> exact re-rank of
     candidates only.  Same output schema as the brute force; recall and
     candidate-set size are gated in tests; the full pipeline (sketch bits
-    included) is replicated relationally by ``lsh_topk_oracle_sql``."""
-    cand = lsh_candidates(embeddings, dim, n_bands, bits)
+    included) is replicated relationally by ``lsh_topk_oracle_sql``.
+    ``query_ids`` restricts the query side (see ``lsh_candidates``)."""
+    cand = lsh_candidates(embeddings, dim, n_bands, bits, query_ids=query_ids)
     e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
     ea = e.select(F.col("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na"))
     eb = e.select(
