@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "13"
+FIXTURE_VERSION = "14"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -101,6 +101,7 @@ def _counts(sf: str) -> dict[str, int]:
         "queries": max(150, int(1500 * scale)),
         "polygons": 200,
         "relations": max(40, int(400 * scale)),
+        "embeddings_nd": max(300, int(1500 * scale)),
     }
 
 
@@ -368,6 +369,41 @@ def _gen_relations(rng: np.random.Generator, wn: dict, n_rel: int):
         }
     )
     return relations, rel_members, rel_tags
+
+
+# ---------------------------------------------------------------------------
+# near-dup embeddings (embedding-cosine dedup, LSH recall-gated)
+# ---------------------------------------------------------------------------
+
+
+def _gen_embeddings_nd(rng: np.random.Generator, n: int, d: int = 64):
+    """(vec_id, embedding float[64], group_id): ~40 % of vectors belong to
+    duplicate groups of 2-4 (center + N(0, 0.12) noise -> intra-group
+    cosine ~0.986); the rest are independent (pairwise cosine ~N(0, 1/8),
+    max over all pairs well under the 0.9 threshold). The near-dup regime
+    of the dedup mandate: thresholded pairs == intra-group pairs, exactly
+    recoverable by exact SQL and — with the frozen seed-42 hyperplanes —
+    by the banded LSH path at full recall."""
+    vecs = np.empty((n, d), dtype=np.float32)
+    group = np.empty(n, dtype=np.int64)
+    i = 0
+    g = 0
+    while i < n:
+        size = 1 if rng.random() < 0.6 else int(rng.integers(2, 5))
+        size = min(size, n - i)
+        center = rng.normal(0, 1, d)
+        for j in range(i, i + size):
+            vecs[j] = center + rng.normal(0, 0.12, d)
+            group[j] = g
+        i += size
+        g += 1
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+            "group_id": pa.array(group),
+        }
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -910,6 +946,12 @@ def generate(sf: str, out_dir: str) -> None:
                 "value": pa.array(list(tr[2])),
             }
         ),
+    )
+
+    _write(
+        out_dir,
+        "embeddings_nd",
+        _gen_embeddings_nd(np.random.default_rng([SEED, 8]), c["embeddings_nd"]),
     )
 
     relations, rel_members, rel_tags = _gen_relations(streams["relations"], wn, c["relations"])

@@ -239,13 +239,17 @@ def embedding_neardup_pairs(
     return _block_pair_partials(embeddings, "thresh", tau=tau, n_blocks=n_blocks)
 
 
-def embedding_neardup_oracle_sql(tau: float = 0.95) -> str:
+def embedding_neardup_oracle_sql(tau: float = 0.95, src: str = "embeddings") -> str:
+    """Exact thresholded pairs; ``src`` is the table/read_parquet source.
+    Against the LSH variant this doubles as a RECALL gate (minhash_lsh
+    pattern): a red row means the banded sketch started missing true
+    near-dup pairs on the frozen data+planes."""
     return f"""
 SELECT a.vec_id, b.vec_id AS neighbor_id,
        round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
                     * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM {src} a JOIN {src} b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
             / sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
                    * list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])), 6) >= {tau}
@@ -379,6 +383,41 @@ def cosine_topk_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos")
+    )
+
+
+def embedding_neardup_lsh(
+    embeddings: DataFrame,
+    tau: float = 0.9,
+    dim: int = 64,
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: banded hyperplane sketch ->
+    bucket join candidates -> exact cosine verify >= tau. Same output
+    schema as the exact ``embedding_neardup_pairs`` (one row per unordered
+    pair); the exact SQL oracle is the recall gate. Near-dup pairs
+    (cos ~0.98+) miss all 16x8-bit bands with probability ~6e-8 per pair,
+    so on frozen data + frozen planes recall is exactly 1 — verified, not
+    assumed. At 10^12 rows the candidate volume is O(bands * n * bucket
+    occupancy) vs the exact kernel's O(n^2)."""
+    cand = lsh_candidates(embeddings, dim, n_bands, bits).where(
+        F.col("vec_id") < F.col("neighbor_id")
+    )
+    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
+    ea = e.select("vec_id", F.col("embedding").alias("ea"), F.col("n2").alias("na"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+    )
+    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= tau)
+        .select("vec_id", "neighbor_id", "cos")
     )
 
 

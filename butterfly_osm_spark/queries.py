@@ -446,6 +446,27 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_embs(spark, sf_dir), tau=NEARDUP_TAU)
 
 
+NEARDUP_LSH_TAU = 0.9  # embeddings_nd fixture: intra-group cos ~0.986
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """Sub-quadratic embedding-cosine near-dup over the near-dup-regime
+    fixture corpus; the exact SQL oracle is a full-recall gate."""
+    from .operators.ann import embedding_neardup_lsh
+
+    fix = _fix(sf_dir)
+    return embedding_neardup_lsh(_read(spark, fix, "embeddings_nd"), tau=NEARDUP_LSH_TAU)
+
+
+def sql_embedding_neardup_lsh(sf: str = ORACLE_SF) -> str:
+    from .operators.ann import embedding_neardup_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return embedding_neardup_oracle_sql(
+        NEARDUP_LSH_TAU, src=f"read_parquet('{fix}/embeddings_nd.parquet')"
+    )
+
+
 def q_ann_cosine_lsh(spark, sf_dir):
     from .operators.ann import cosine_topk_lsh
 
@@ -889,6 +910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
     "way_polyline6": q_way_polyline6,
@@ -957,6 +979,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "embedding_neardup": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),
+    "embedding_neardup_lsh": sql_embedding_neardup_lsh,
     "wkb_sink": sql_wkb_sink,
     "geojson_sink": sql_geojson_sink,
     "way_polyline6": sql_way_polyline6,

@@ -132,3 +132,38 @@ def test_ann_ivf_subset_and_recall(spark, embs):
     for r in got:
         if (r.vec_id, r.neighbor_id) in brute_cos:
             assert brute_cos[(r.vec_id, r.neighbor_id)] == r.cos
+
+
+def test_embedding_neardup_lsh_full_recall_and_subquadratic(spark, fix001):
+    """The banded LSH near-dup must (a) exactly reproduce the thresholded
+    pair set on the frozen fixture+planes (recall gate) and (b) verify far
+    fewer candidate pairs than the quadratic kernel would."""
+    import duckdb
+
+    from butterfly_osm_spark.operators.ann import (
+        embedding_neardup_lsh,
+        embedding_neardup_oracle_sql,
+        lsh_candidates,
+    )
+
+    emb = spark.read.parquet(fix001 + "/embeddings_nd.parquet")
+    n = emb.count()
+    got = sorted(
+        (r.vec_id, r.neighbor_id, r.cos)
+        for r in embedding_neardup_lsh(emb, tau=0.9).collect()
+    )
+    want = sorted(
+        map(
+            tuple,
+            duckdb.sql(
+                embedding_neardup_oracle_sql(
+                    0.9, src=f"read_parquet('{fix001}/embeddings_nd.parquet')"
+                )
+            ).fetchall(),
+        )
+    )
+    assert got == want and len(got) > 0
+    n_cand = lsh_candidates(emb).where("vec_id < neighbor_id").count()
+    assert n_cand < n * (n - 1) / 2 / 10, (
+        f"candidate set {n_cand} not sub-quadratic vs {n*(n-1)//2} pairs"
+    )
