@@ -179,3 +179,108 @@ SELECT a.relation_id, a.from_way, a.via_node, a.to_way, a.kind, a.except_modes,
 FROM arcs a
 WHERE a.kind IS NOT NULL
 """
+
+
+def turn_table(relations: DataFrame, way_nodes: DataFrame) -> DataFrame:
+    """Expanded turn table: for every via node carrying at least one
+    valid-topology rule, every (from_way, to_way) way pair meeting at that
+    node with its allowed/disallowed verdict.
+
+    Semantics (reference TurnRuleKind consumption,
+    route/src/model/types.rs:81-86 + the CCH turn lookup): a ``ban`` rule
+    disallows exactly its triple; an ``only`` rule disallows every triple
+    (via, from, *) whose target is not among that (via, from)'s only-
+    targets (multiple onlys union). U-turn candidates (from == to) are
+    included — ``no_u_turn`` bans them. Only topology-valid rules apply
+    (via on both ways); broken relations are real-world noise, not rules.
+
+    Scale shape: the candidate pair set is bounded by sum(degree^2) over
+    RULE-CARRYING nodes only (a tiny fraction of all intersections), built
+    from a broadcast semi-join prune of way_nodes; rule joins are
+    broadcast-sized by construction.
+    """
+    arcs = restriction_arcs(relations, way_nodes)
+    rules = arcs.where((F.col("via_on_from") == 1) & (F.col("via_on_to") == 1))
+
+    via = rules.select(F.col("via_node").alias("node_id")).distinct()
+    wn = (
+        way_nodes.join(F.broadcast(via), "node_id", "left_semi")
+        .select("way_id", "node_id")
+        .distinct()
+    )
+    cand = (
+        wn.select(F.col("node_id").alias("via_node"), F.col("way_id").alias("from_way"))
+        .join(
+            wn.select(F.col("node_id").alias("via_node"), F.col("way_id").alias("to_way")),
+            "via_node",
+        )
+    )
+
+    bans = (
+        rules.where(F.col("kind") == "ban")
+        .select("via_node", "from_way", "to_way")
+        .distinct()
+        .withColumn("banned", F.lit(1))
+    )
+    only_keys = (
+        rules.where(F.col("kind") == "only")
+        .select("via_node", "from_way")
+        .distinct()
+        .withColumn("has_only", F.lit(1))
+    )
+    only_targets = (
+        rules.where(F.col("kind") == "only")
+        .select("via_node", "from_way", "to_way")
+        .distinct()
+        .withColumn("is_target", F.lit(1))
+    )
+    return (
+        cand.join(bans, ["via_node", "from_way", "to_way"], "left")
+        .join(only_keys, ["via_node", "from_way"], "left")
+        .join(only_targets, ["via_node", "from_way", "to_way"], "left")
+        .select(
+            "via_node",
+            "from_way",
+            "to_way",
+            (
+                F.col("banned").isNull()
+                & (F.col("has_only").isNull() | F.col("is_target").isNotNull())
+            )
+            .cast("int")
+            .alias("allowed"),
+        )
+    )
+
+
+def turn_table_oracle_sql(fix: str) -> str:
+    """DuckDB replication: rebuild the valid-topology rules from the arcs
+    oracle, expand ban directly and only via the target-set test."""
+    arcs = restriction_arcs_oracle_sql(fix)
+    return f"""
+WITH arcs AS ({arcs}),
+rules AS (SELECT * FROM arcs WHERE via_on_from = 1 AND via_on_to = 1),
+via AS (SELECT DISTINCT via_node FROM rules),
+wn AS (
+  SELECT DISTINCT way_id, node_id
+  FROM '{fix}/way_nodes.parquet'
+  WHERE node_id IN (SELECT via_node FROM via)
+),
+cand AS (
+  SELECT a.node_id AS via_node, a.way_id AS from_way, b.way_id AS to_way
+  FROM wn a JOIN wn b ON a.node_id = b.node_id
+),
+bans AS (SELECT DISTINCT via_node, from_way, to_way FROM rules WHERE kind = 'ban'),
+only_keys AS (SELECT DISTINCT via_node, from_way FROM rules WHERE kind = 'only'),
+only_targets AS (SELECT DISTINCT via_node, from_way, to_way FROM rules WHERE kind = 'only')
+SELECT c.via_node, c.from_way, c.to_way,
+       CAST(
+         NOT EXISTS (SELECT 1 FROM bans n WHERE n.via_node = c.via_node
+                     AND n.from_way = c.from_way AND n.to_way = c.to_way)
+         AND (
+           NOT EXISTS (SELECT 1 FROM only_keys k WHERE k.via_node = c.via_node
+                       AND k.from_way = c.from_way)
+           OR EXISTS (SELECT 1 FROM only_targets t WHERE t.via_node = c.via_node
+                      AND t.from_way = c.from_way AND t.to_way = c.to_way)
+         ) AS INT) AS allowed
+FROM cand c
+"""

@@ -108,6 +108,21 @@ def sql_restriction_arcs(sf: str = ORACLE_SF) -> str:
     return restriction_arcs_oracle_sql(_oracle_fix(sf))
 
 
+def q_turn_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanded ban/only turn verdicts per rule-carrying via node (the
+    reference's TurnRuleKind consumption semantics)."""
+    from .operators.relations import turn_table
+
+    fix = _fix(sf_dir)
+    return turn_table(_read(spark, fix, "relations"), _read(spark, fix, "way_nodes"))
+
+
+def sql_turn_table(sf: str = ORACLE_SF) -> str:
+    from .operators.relations import turn_table_oracle_sql
+
+    return turn_table_oracle_sql(_oracle_fix(sf))
+
+
 def q_hilbert_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 locality key: order-16 Hilbert distance per node (the sort key the
     snap-index layout uses within cells, snap_index.rs:203-243)."""
@@ -883,6 +898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_edges": q_extract_edges,
     "border_matrix": q_border_matrix,
     "restriction_arcs": q_restriction_arcs,
+    "turn_table": q_turn_table,
     "hilbert_index": q_hilbert_index,
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
@@ -938,6 +954,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "extract_edges": sql_extract_edges,
     "border_matrix": sql_border_matrix,
     "restriction_arcs": sql_restriction_arcs,
+    "turn_table": sql_turn_table,
     "hilbert_index": sql_hilbert_index,
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,

@@ -89,3 +89,20 @@ def test_fixture_arcs_sorted_and_valid(spark, fix001):
     assert all(r.kind in ("ban", "only") for r in out)
     # every emitted arc has a complete triple
     assert all(r.from_way and r.via_node and r.to_way for r in out)
+
+
+def test_turn_table_expansion(spark, tiny):
+    """only_* disallows every sibling turn from (via, from); ban beats the
+    only-target; ways without rules stay fully allowed."""
+    from butterfly_osm_spark.operators.relations import turn_table
+
+    rels, way_nodes = tiny
+    rows = {
+        (r.via_node, r.from_way, r.to_way): r.allowed
+        for r in turn_table(rels, way_nodes).collect()
+    }
+    # node 100 carries rules; ways through it: 10, 20 -> 4 candidate turns
+    assert set(rows) == {(100, a, b) for a in (10, 20) for b in (10, 20)}
+    assert rows[(100, 10, 20)] == 0  # banned (rel 1) even though only-target (rel 2)
+    assert rows[(100, 10, 10)] == 0  # u-turn disallowed by the only-expansion
+    assert rows[(100, 20, 10)] == 1 and rows[(100, 20, 20)] == 1  # no rules from 20
