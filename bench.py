@@ -127,6 +127,10 @@ def run_once(sf_dir: str, cpus: int) -> dict:
         spark.stop()
 
 
+# Scaling mode keeps df.count() as its action: both levels run the
+# identical job, so any terminal-projection pruning cancels out of the
+# throughput RATIO the mode reports — and the artifact stays comparable
+# with the round-2 scaling measurements.
 SCALING_SUITE = [
     "pip_images",
     "knn_nodes",

@@ -320,12 +320,25 @@ def make_chunks_udf(dim: int, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND)
     return chunks
 
 
+def _probe_masks(bits: int, probe_bits: int) -> list[int]:
+    """All XOR masks of popcount <= probe_bits over a ``bits``-wide chunk
+    (mask 0 first = the exact bucket)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, probe_bits + 1):
+        for pos in combinations(range(bits), r):
+            masks.append(sum(1 << p for p in pos))
+    return masks
+
+
 def lsh_candidates(
     embeddings: DataFrame,
     dim: int = 64,
     n_bands: int = N_BANDS,
     bits: int = BITS_PER_BAND,
     query_ids: DataFrame | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Distinct (vec_id, neighbor_id) candidate pairs from the band-chunk
     bucket join (vec_id != neighbor_id, both directions kept for top-k).
@@ -333,7 +346,16 @@ def lsh_candidates(
     ``query_ids`` (a one-column ``vec_id`` frame) restricts the QUERY side
     to a subset while the corpus side stays full — the production "query
     batch vs corpus" shape; the bucket join then produces only the sampled
-    queries' candidates."""
+    queries' candidates.
+
+    ``probe_bits`` > 0 enables MULTIPROBE: the query side also visits every
+    bucket within Hamming distance ``probe_bits`` of its own chunk (chunk
+    XOR mask, masks generated JVM-side as a literal explode). Sign-bit LSH
+    recall is similarity-dependent — banding alone targets the near-dup
+    regime; probing the 1-2-flip neighborhood is the standard lever for
+    mid-cosine retrieval, multiplying the query-side band rows by
+    sum(C(bits, i)) for i <= probe_bits while the corpus side (the big,
+    10^12-row side at scale) is untouched."""
     ch = make_chunks_udf(dim, n_bands, bits)
     bands = (
         embeddings.select("vec_id", F.posexplode(ch("embedding")).alias("band_id", "chunk"))
@@ -341,6 +363,16 @@ def lsh_candidates(
     qside = bands
     if query_ids is not None:
         qside = bands.join(F.broadcast(query_ids), "vec_id", "left_semi")
+    if probe_bits > 0:
+        masks = _probe_masks(bits, probe_bits)
+        qside = qside.select(
+            "vec_id",
+            "band_id",
+            F.explode(F.array(*[F.lit(m) for m in masks])).alias("mask"),
+            "chunk",
+        ).select(
+            "vec_id", "band_id", F.col("chunk").bitwiseXOR(F.col("mask")).alias("chunk")
+        )
     a = qside.alias("a")
     b = bands.alias("b")
     return (

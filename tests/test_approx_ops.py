@@ -167,3 +167,39 @@ def test_embedding_neardup_lsh_full_recall_and_subquadratic(spark, fix001):
     assert n_cand < n * (n - 1) / 2 / 10, (
         f"candidate set {n_cand} not sub-quadratic vs {n*(n-1)//2} pairs"
     )
+
+
+def test_multiprobe_lifts_mid_cosine_recall(spark):
+    """On the driver's near-orthogonal embeddings (qualifying pairs at
+    cos 0.35-0.48 — the regime plain banding does NOT target), probing the
+    2-flip bucket neighborhood must lift pair recall from partial to
+    ~complete while leaving the corpus side of the join untouched."""
+    import duckdb
+
+    from butterfly_osm_spark.operators.ann import (
+        embedding_neardup_oracle_sql,
+        lsh_candidates,
+    )
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = spark.read.parquet(src)
+    duckdb.sql(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM '{src}'")
+    want = {
+        (a, b)
+        for a, b, _ in duckdb.sql(embedding_neardup_oracle_sql(0.35)).fetchall()
+    }
+    assert len(want) > 50
+
+    def recall(probe_bits: int) -> float:
+        got = {
+            (r.vec_id, r.neighbor_id)
+            for r in lsh_candidates(emb, probe_bits=probe_bits)
+            .where("vec_id < neighbor_id")
+            .collect()
+        }
+        return len(got & want) / len(want)
+
+    r0, r2 = recall(0), recall(2)
+    assert r0 < 0.7, f"baseline banding unexpectedly strong ({r0}) — test loses power"
+    assert r2 > r0 + 0.2
+    assert r2 >= 0.95, f"multiprobe recall {r2}"
