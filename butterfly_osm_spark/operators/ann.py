@@ -482,14 +482,102 @@ def ivf_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-def ann_cosine_ivf(embeddings: DataFrame, k: int = 5, n_probe: int = IVF_PROBE) -> DataFrame:
+def kmeans_train(
+    embeddings: DataFrame, k: int = 8, iters: int = 5
+) -> tuple[DataFrame, list[float]]:
+    """Distributed spherical k-means (Lloyd's): the trained coarse
+    quantizer for IVF, replacing the label-column stand-in when no
+    offline codebook exists.
+
+    Spark shape: the MODEL (k x dim centroid matrix) lives at the driver —
+    a few KB of parameters, not data — while every assign step is one
+    distributed job: broadcast the centroid frame, crossJoin-score, rank
+    window, then decimal-exact per-centroid component means (the same
+    order-independent aggregation discipline as ``ivf_centroids``). Init
+    is deterministic: the k corpus rows with the smallest
+    ``xxhash64(vec_id)`` (a seeded sample without an RNG). Empty clusters
+    keep their previous centroid. Returns (centroids DataFrame
+    (centroid_id, cvec), per-iteration mean-assigned-cosine objective —
+    non-decreasing, the Lloyd's convergence witness).
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    seeds = (
+        embeddings.select("vec_id", "embedding")
+        .withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    C = np.array([r["embedding"] for r in seeds], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+
+    def cent_df(mat: np.ndarray) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "centroid_id INT, cvec ARRAY<DOUBLE>",
+        )
+
+    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
+    objective: list[float] = []
+    for _ in range(iters):
+        scored = e.crossJoin(F.broadcast(cent_df(C))).select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            (_norm_dot("embedding", "cvec") / F.sqrt(F.col("n2"))).alias("ccos"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
+        assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        stats = (
+            assigned.select(
+                "centroid_id",
+                "ccos",
+                F.posexplode(F.col("embedding")).alias("i", "x"),
+            )
+            .groupBy("centroid_id", "i")
+            .agg(
+                F.sum(F.col("x").cast("decimal(27,12)")).cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum("ccos").alias("oc"),
+            )
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their centroid
+        comp: dict[int, list] = {}
+        total_cos = 0.0
+        total_n = 0
+        for r in stats:
+            comp.setdefault(r["centroid_id"], []).append((r["i"], r["s"] / r["n"]))
+            if r["i"] == 0:
+                total_cos += r["oc"]
+                total_n += r["n"]
+        for cid, pairs in comp.items():
+            vec = np.array([v for _, v in sorted(pairs)])
+            nrm = np.linalg.norm(vec)
+            if nrm > 0:
+                newC[cid] = vec / nrm
+        C = newC
+        objective.append(total_cos / total_n if total_n else 0.0)
+    return cent_df(C), objective
+
+
+def ann_cosine_ivf(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_probe: int = IVF_PROBE,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """Approximate top-k via IVF: vectors assign to their nearest
     centroid cell; each query probes its ``n_probe`` nearest cells and
     exact-re-ranks only the vectors inside them. Candidate volume is
     ~n_probe/C of the corpus per query — the classic inverted-file
     trade; recall gated in tests. Same output schema as the other ANN
-    kernels; fully replicated relationally by ``ivf_topk_oracle_sql``."""
-    cent = ivf_centroids(embeddings)
+    kernels; fully replicated relationally by ``ivf_topk_oracle_sql``.
+    ``centroids`` supplies an external codebook (e.g. ``kmeans_train``);
+    default is the label-mean stand-in, which the SQL oracle replicates."""
+    cent = ivf_centroids(embeddings) if centroids is None else centroids
     e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",

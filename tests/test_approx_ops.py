@@ -203,3 +203,34 @@ def test_multiprobe_lifts_mid_cosine_recall(spark):
     assert r0 < 0.7, f"baseline banding unexpectedly strong ({r0}) — test loses power"
     assert r2 > r0 + 0.2
     assert r2 >= 0.95, f"multiprobe recall {r2}"
+
+
+def test_kmeans_train_and_trained_ivf(spark):
+    """Lloyd's objective must be non-decreasing, training deterministic,
+    and IVF with the TRAINED codebook must reach comparable top-k recall
+    to the label-mean stand-in against the exact kernel."""
+    from butterfly_osm_spark.operators.ann import (
+        ann_cosine_ivf,
+        cosine_topk_bruteforce,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent1, obj1 = kmeans_train(emb, k=8, iters=4)
+    _, obj2 = kmeans_train(emb, k=8, iters=4)
+    assert obj1 == obj2, "training must be deterministic"
+    assert all(b >= a - 1e-9 for a, b in zip(obj1, obj1[1:])), f"objective fell: {obj1}"
+    assert obj1[-1] > obj1[0], "no improvement over init"
+
+    exact = {
+        (r.vec_id, r.neighbor_id) for r in cosine_topk_bruteforce(emb, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.vec_id, r.neighbor_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    r_label = recall(ann_cosine_ivf(emb, k=5))
+    r_trained = recall(ann_cosine_ivf(emb, k=5, centroids=cent1))
+    assert r_trained >= r_label - 0.05, (r_trained, r_label)
+    assert r_trained >= 0.5
