@@ -181,7 +181,11 @@ WHERE a.kind IS NOT NULL
 """
 
 
-def turn_table(relations: DataFrame, way_nodes: DataFrame) -> DataFrame:
+def turn_table(
+    relations: DataFrame,
+    way_nodes: DataFrame,
+    mode_exceptions: list[str] | None = None,
+) -> DataFrame:
     """Expanded turn table: for every via node carrying at least one
     valid-topology rule, every (from_way, to_way) way pair meeting at that
     node with its allowed/disallowed verdict.
@@ -201,6 +205,15 @@ def turn_table(relations: DataFrame, way_nodes: DataFrame) -> DataFrame:
     """
     arcs = restriction_arcs(relations, way_nodes)
     rules = arcs.where((F.col("via_on_from") == 1) & (F.col("via_on_to") == 1))
+    if mode_exceptions:
+        # reference except handling (route/src/model/evaluate.rs:275-287):
+        # the rule is void for a mode when the relation's except string
+        # contains any of the mode's exception tokens
+        cond = None
+        for tok in mode_exceptions:
+            c = F.col("except_modes").contains(tok)
+            cond = c if cond is None else (cond | c)
+        rules = rules.where(~cond)
 
     via = rules.select(F.col("via_node").alias("node_id")).distinct()
     wn = (

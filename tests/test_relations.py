@@ -106,3 +106,18 @@ def test_turn_table_expansion(spark, tiny):
     assert rows[(100, 10, 20)] == 0  # banned (rel 1) even though only-target (rel 2)
     assert rows[(100, 10, 10)] == 0  # u-turn disallowed by the only-expansion
     assert rows[(100, 20, 10)] == 1 and rows[(100, 20, 20)] == 1  # no rules from 20
+
+
+def test_turn_table_mode_exceptions(spark, tiny):
+    """except=bicycle voids rel 2's only-rule for the bicycle mode
+    (evaluate.rs:275-287): the only-expansion disappears, the un-excepted
+    ban (rel 1) still applies."""
+    from butterfly_osm_spark.operators.relations import turn_table
+
+    rels, way_nodes = tiny
+    rows = {
+        (r.via_node, r.from_way, r.to_way): r.allowed
+        for r in turn_table(rels, way_nodes, mode_exceptions=["bicycle"]).collect()
+    }
+    assert rows[(100, 10, 20)] == 0  # ban (rel 1) carries no except
+    assert rows[(100, 10, 10)] == 1  # only-rule voided -> u-turn allowed again
