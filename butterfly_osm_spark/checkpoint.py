@@ -395,12 +395,22 @@ def polyset_key(polygons: DataFrame) -> str:
 
 def cached_pip_join(
     spark: SparkSession, cache: ResultCache, points: DataFrame, polygons: DataFrame,
-    inputs_tag: str = "",
+    inputs_tag: str | None = None,
 ) -> DataFrame:
     """PIP answered through the warm cache: key = (op, canonical polygon-set
     hash, points-input tag). A hit skips cover generation, the cell join
-    and the ray-cast refine entirely."""
+    and the ray-cast refine entirely.
+
+    The points input MUST participate in the key — otherwise a second
+    request with the same polygons but different points would silently
+    return the first request's pairs. Callers with a stable input
+    identity (a checkpoint fingerprint, a snapshot id) should pass it as
+    ``inputs_tag``; the default derives a tag from the points frame's
+    analyzed-plan semantic hash (same source + same projection -> same
+    tag, any plan difference -> different tag)."""
     from .operators.pip import pip_join
 
+    if inputs_tag is None:
+        inputs_tag = f"plan:{points._jdf.queryExecution().analyzed().semanticHash()}"
     key = ResultCache.request_key(op="pip", polyset=polyset_key(polygons), inputs=inputs_tag)
     return cache.get_or_compute(key, lambda: pip_join(points, polygons))

@@ -890,8 +890,12 @@ def _gen_observations(rng: np.random.Generator, wn: dict):
 def generate(sf: str, out_dir: str) -> None:
     # independent child streams per table: editing one generator never
     # reshuffles the other tables' data
+    # SINGLE stream registry: every table's child RNG index lives here, so
+    # no generator can silently collide with another's stream (indices are
+    # frozen — append only, never reorder, or all fixture data reshuffles)
     streams = {k: np.random.default_rng([SEED, i]) for i, k in enumerate(
-        ["ways", "images", "polygons", "queries", "raster", "observations", "relations"]
+        ["ways", "images", "polygons", "queries", "raster", "observations",
+         "relations", "traces", "embeddings_nd"]
     )}
     c = _counts(sf)
 
@@ -951,7 +955,7 @@ def generate(sf: str, out_dir: str) -> None:
     _write(
         out_dir,
         "embeddings_nd",
-        _gen_embeddings_nd(np.random.default_rng([SEED, 8]), c["embeddings_nd"]),
+        _gen_embeddings_nd(streams["embeddings_nd"], c["embeddings_nd"]),
     )
 
     relations, rel_members, rel_tags = _gen_relations(streams["relations"], wn, c["relations"])
@@ -978,7 +982,7 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "raster_cells", raster_cells)
     _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
     n_traces = max(20, int(200 * float(sf) / 0.01))
-    _write(out_dir, "traces", _gen_traces(np.random.default_rng([SEED, 7]), wn, n_traces))
+    _write(out_dir, "traces", _gen_traces(streams["traces"], wn, n_traces))
 
     # LSH hyperplanes materialized as a table so DuckDB can replicate the
     # ANN sketch pipeline relationally (differential oracle for

@@ -135,4 +135,15 @@ def incremental_pip(
     with open(tmp, "w") as f:
         json.dump(new_fp, f)
     os.rename(tmp, fp_path)
+    # a pair table can legitimately hold zero partitions (no polygons, or
+    # every polygon removed): parquet then has no data files to infer a
+    # schema from, so return a typed empty frame instead of crashing
+    has_rows = os.path.isdir(data_dir) and any(
+        e.startswith("cell_p=") for e in os.listdir(data_dir)
+    )
+    if not has_rows:
+        return (
+            spark.createDataFrame([], "point_id STRING, polygon_id STRING, cell_p BIGINT"),
+            info,
+        )
     return spark.read.parquet(data_dir), info

@@ -387,6 +387,26 @@ def lsh_candidates(
     )
 
 
+def _cosine_join(cand: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Attach the exact 6-dp cosine to (vec_id, neighbor_id) candidate
+    pairs — THE shared re-rank join every approximate path (LSH top-k,
+    LSH near-dup, IVF) feeds. One definition keeps the rounding/norm
+    discipline (a recurring cross-engine oracle-parity hazard) in exactly
+    one place."""
+    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
+    ea = e.select(F.col("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na"))
+    eb = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
+    )
+    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(ea, "vec_id")
+        .join(eb, "neighbor_id")
+        .withColumn("cos", cos)
+        .drop("ea", "eb", "na", "nb")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     k: int = 5,
@@ -401,17 +421,9 @@ def cosine_topk_lsh(
     included) is replicated relationally by ``lsh_topk_oracle_sql``.
     ``query_ids`` restricts the query side (see ``lsh_candidates``)."""
     cand = lsh_candidates(embeddings, dim, n_bands, bits, query_ids=query_ids)
-    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
-    ea = e.select(F.col("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na"))
-    eb = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
-    )
-    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.join(ea, "vec_id")
-        .join(eb, "neighbor_id")
-        .withColumn("cos", cos)
+        _cosine_join(cand, embeddings)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos")
@@ -436,18 +448,8 @@ def embedding_neardup_lsh(
     cand = lsh_candidates(embeddings, dim, n_bands, bits).where(
         F.col("vec_id") < F.col("neighbor_id")
     )
-    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
-    ea = e.select("vec_id", F.col("embedding").alias("ea"), F.col("n2").alias("na"))
-    eb = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("eb"),
-        F.col("n2").alias("nb"),
-    )
-    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
     return (
-        cand.join(ea, "vec_id")
-        .join(eb, "neighbor_id")
-        .withColumn("cos", cos)
+        _cosine_join(cand, embeddings)
         .where(F.col("cos") >= tau)
         .select("vec_id", "neighbor_id", "cos")
     )
@@ -608,16 +610,9 @@ def ann_cosine_ivf(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(F.col("query_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id"))
     )
-    ea = e.select(F.col("vec_id"), F.col("embedding").alias("ea"), F.col("n2").alias("na"))
-    eb = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"), F.col("n2").alias("nb")
-    )
-    cos = F.round(_norm_dot("ea", "eb") / F.sqrt(F.col("na") * F.col("nb")), 6)
     wk = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cand.join(ea, "vec_id")
-        .join(eb, "neighbor_id")
-        .withColumn("cos", cos)
+        _cosine_join(cand, embeddings)
         .withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
         .select("vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "cos")

@@ -217,6 +217,12 @@ def knn_join(
     Output: (query_id, rank, node_id, dist_m) — rank 1-based by
     (d2, node_id); dist_m rounded to mm. Queries with no target inside
     the cutoff produce no rows (reference empty-snap semantics).
+
+    Caching contract: the multi-phase path returns a PERSISTED frame
+    (bounded: <= sum(k) rows) — the per-phase partials are materialized
+    through it and released before returning. A caller looping over many
+    knn_join calls in one session should unpersist the returned frame
+    once consumed (or clearCache between iterations, as bench.py does).
     """
     if res is None:
         res = adaptive_res(targets)

@@ -233,7 +233,16 @@ def pip_join(
         .cogroup(edges.groupBy("polygon_id", "salt"))
         .applyInPandas(refine, schema=_PAIR_SCHEMA)
     )
-    return full_hits.unionByName(refined)
+    # materialize the pair result once (cached), then release the cover —
+    # repeated pip_join callers (warm-cache misses, incremental refreshes)
+    # previously pinned one cover RDD per call for the session lifetime,
+    # the same leak class the knn phase partials had. The returned frame
+    # stays cached (bounded: one row per (point, polygon) hit); callers
+    # that loop for a session lifetime should unpersist it when consumed.
+    out = full_hits.unionByName(refined).persist()
+    out.count()
+    cover.unpersist()
+    return out
 
 
 def pip_oracle_sql(fix: str, point_table: str = "image_geo", id_col: str = "image_id", out_id: str = "point_id") -> str:

@@ -208,7 +208,11 @@ def turn_table(
     if mode_exceptions:
         # reference except handling (route/src/model/evaluate.rs:275-287):
         # the rule is void for a mode when the relation's except string
-        # contains any of the mode's exception tokens
+        # contains any of the mode's exception tokens. SUBSTRING contains
+        # is deliberate — the reference itself does
+        # `except_str.contains(exc_str)` (evaluate.rs:282), so
+        # except="minibus" voids a mode whose token is "bus" there too;
+        # we replicate the quirk for parity rather than "fixing" it
         cond = None
         for tok in mode_exceptions:
             c = F.col("except_modes").contains(tok)

@@ -121,3 +121,20 @@ def test_polyset_key_ring_rotation_invariant(spark, fix001):
         F.expr("concat(slice(ring, 2, size(ring) - 1), slice(ring, 1, 1))").alias("ring"),
     )
     assert polyset_key(polygons) == polyset_key(rotated)
+
+
+def test_result_cache_different_points_miss(spark, fix001, tmp_path):
+    """Same polygons + different points must MISS (the points input
+    participates in the key via the plan semantic hash by default)."""
+    from pyspark.sql import functions as F
+
+    from butterfly_osm_spark.checkpoint import ResultCache, cached_pip_join
+
+    points = spark.read.parquet(os.path.join(fix001, "image_geo.parquet"))
+    polygons = spark.read.parquet(os.path.join(fix001, "polygons.parquet"))
+    cache = ResultCache(spark, str(tmp_path / "rc"))
+    a = cached_pip_join(spark, cache, points, polygons).count()
+    half = points.where(F.xxhash64("image_id") % 2 == 0)
+    b = cached_pip_join(spark, cache, half, polygons).count()
+    assert [x["hit"] for x in cache.lineage] == [False, False]
+    assert b < a

@@ -77,3 +77,12 @@ def test_incremental_polygon_removal_cleans_partitions(spark, inputs, tmp_path):
     scratch_df, _ = incremental_pip(spark, d2, points, reduced)
     assert _pairs(inc_df) == _pairs(scratch_df)
     assert all(pid != p for _, p in _pairs(inc_df))
+
+    # remove EVERY polygon: all partitions drop, result is a typed empty
+    # frame (not an unreadable empty parquet dir)
+    none_df, info_none = incremental_pip(
+        spark, d, points, polygons.where(F.lit(False))
+    )
+    assert info_none["n_cells_total"] == 0 and len(info_none["changed_cells"]) > 0
+    assert none_df.count() == 0
+    assert set(none_df.columns) == {"point_id", "polygon_id", "cell_p"}
