@@ -370,6 +370,7 @@ class ResultCache:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         df.write.mode("overwrite").parquet(tmp)  # writes _SUCCESS on commit
+        df.unpersist()  # no-op if compute() returned an unpersisted frame
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
