@@ -345,25 +345,67 @@ class ResultCache:
     hash + params) was already answered reads the published parquet back
     instead of re-running the PIP/refine stages. Durable across sessions
     (the parquet dir is the cache entry), same commit discipline as stage
-    outputs (write tmp -> rename)."""
+    outputs (write tmp -> rename).
 
-    def __init__(self, spark: SparkSession, cache_dir: str):
+    Bounded like the reference's LRU (avoid.rs:27-135 — O(cap) eviction,
+    hit/miss stats surfaced in /health): at most ``max_entries`` entry
+    dirs; inserting past the cap evicts the least-recently-used entries
+    (recency = dir mtime, refreshed on every hit), and ``hits``/``misses``
+    counters ride along in the lineage rows."""
+
+    def __init__(self, spark: SparkSession, cache_dir: str, max_entries: int = 64):
         self.spark = spark
         self.cache_dir = cache_dir
+        self.max_entries = max_entries
         os.makedirs(cache_dir, exist_ok=True)
         self.lineage: list[dict] = []
+        self.hits = 0
+        self.misses = 0
+        self.evictions = 0
 
     @staticmethod
     def request_key(**parts) -> str:
         blob = json.dumps(parts, sort_keys=True, separators=(",", ":"))
         return hashlib.sha256(blob.encode()).hexdigest()[:32]
 
+    def _entries(self) -> list[str]:
+        return [
+            e
+            for e in os.listdir(self.cache_dir)
+            if os.path.isdir(os.path.join(self.cache_dir, e)) and not e.endswith(".tmp")
+        ]
+
+    def _evict_lru(self) -> None:
+        ents = self._entries()
+        if len(ents) <= self.max_entries:
+            return
+        by_age = sorted(ents, key=lambda e: os.stat(os.path.join(self.cache_dir, e)).st_mtime_ns)
+        for e in by_age[: len(ents) - self.max_entries]:
+            shutil.rmtree(os.path.join(self.cache_dir, e), ignore_errors=True)
+            self.evictions += 1
+            self.lineage.append({"key": e, "evicted": True})
+
+    def _record(self, key: str, hit: bool, t0: float) -> None:
+        self.hits += hit
+        self.misses += not hit
+        self.lineage.append(
+            {
+                "key": key,
+                "hit": hit,
+                "wall_s": round(time.time() - t0, 4),
+                "hits": self.hits,
+                "misses": self.misses,
+                "entries": len(self._entries()),
+            }
+        )
+
     def get_or_compute(self, key: str, compute: Callable[[], DataFrame]) -> DataFrame:
         path = os.path.join(self.cache_dir, key)
         t0 = time.time()
         if os.path.exists(os.path.join(path, "_SUCCESS")):
             df = self.spark.read.parquet(path)
-            self.lineage.append({"key": key, "hit": True, "wall_s": round(time.time() - t0, 4)})
+            os.utime(path)  # refresh LRU recency
+            self._record(key, True, t0)
             return df
         df = compute()
         tmp = path + ".tmp"
@@ -374,7 +416,8 @@ class ResultCache:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
-        self.lineage.append({"key": key, "hit": False, "wall_s": round(time.time() - t0, 4)})
+        self._record(key, False, t0)
+        self._evict_lru()
         return self.spark.read.parquet(path)
 
 
@@ -394,6 +437,26 @@ def polyset_key(polygons: DataFrame) -> str:
     return row[0]["k"]
 
 
+def _source_files_tag(df: DataFrame) -> str:
+    """Content tag of a frame's file-backed sources: sorted (uri, size,
+    mtime_ns) of ``df.inputFiles()``. Regenerating a parquet at the same
+    path changes the tag (mtime always moves, usually size too) — the
+    plan semantic hash alone cannot see that, it keys on path+projection
+    only. Empty string for non-file sources (in-memory frames)."""
+    files = sorted(df.inputFiles())
+    if not files:
+        return ""
+    h = hashlib.sha256()
+    for uri in files:
+        p = uri.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            h.update(f"{uri}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(uri.encode())
+    return h.hexdigest()[:20]
+
+
 def cached_pip_join(
     spark: SparkSession, cache: ResultCache, points: DataFrame, polygons: DataFrame,
     inputs_tag: str | None = None,
@@ -406,12 +469,16 @@ def cached_pip_join(
     request with the same polygons but different points would silently
     return the first request's pairs. Callers with a stable input
     identity (a checkpoint fingerprint, a snapshot id) should pass it as
-    ``inputs_tag``; the default derives a tag from the points frame's
-    analyzed-plan semantic hash (same source + same projection -> same
-    tag, any plan difference -> different tag)."""
+    ``inputs_tag``; the default combines (a) the analyzed-plan semantic
+    hash (same source + same projection/filter -> same plan tag) with
+    (b) a content fingerprint of the points source files (name + size +
+    mtime), so regenerating the points parquet at the same path — which
+    the plan hash cannot see, the cache being durable across sessions —
+    still misses and recomputes."""
     from .operators.pip import pip_join
 
     if inputs_tag is None:
-        inputs_tag = f"plan:{points._jdf.queryExecution().analyzed().semanticHash()}"
+        plan_h = points._jdf.queryExecution().analyzed().semanticHash()
+        inputs_tag = f"plan:{plan_h}/data:{_source_files_tag(points)}"
     key = ResultCache.request_key(op="pip", polyset=polyset_key(polygons), inputs=inputs_tag)
     return cache.get_or_compute(key, lambda: pip_join(points, polygons))

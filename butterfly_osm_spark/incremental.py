@@ -69,13 +69,21 @@ def poly_coarse_cover(polygons: DataFrame) -> DataFrame:
 
 def cell_fingerprints(polygons: DataFrame) -> DataFrame:
     """(cell_p, fp): order-independent fingerprint of the polygon content
-    covering each coarse cell."""
+    covering each coarse cell.
+
+    Combine = xxhash64 over the SORTED per-polygon hash list — order-
+    independent (sort) but NOT involutive: bit_xor would self-cancel on an
+    even number of identical (polygon_id, ring) rows, silently skipping
+    recompute when duplicate rows are added or removed."""
     h = F.xxhash64(F.to_json(F.struct("polygon_id", "ring"))).alias("h")
+    combined = F.xxhash64(
+        F.concat_ws(",", F.transform(F.sort_array(F.collect_list("h")), lambda x: x.cast("string")))
+    )
     return (
         polygons.select("polygon_id", h)
         .join(poly_coarse_cover(polygons), "polygon_id")
         .groupBy("cell_p")
-        .agg(F.bit_xor("h").alias("fp"))
+        .agg(combined.alias("fp"))
     )
 
 

@@ -521,7 +521,10 @@ def kmeans_train(
             "centroid_id INT, cvec ARRAY<DOUBLE>",
         )
 
-    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2"))
+    # one corpus scan total: every Lloyd's iteration re-reads the projected
+    # embeddings+norms from the cached copy instead of re-scanning the
+    # source (at 100 TB an unpersisted loop is iters x redundant scan I/O)
+    e = embeddings.select("vec_id", "embedding", _self_norm("embedding").alias("n2")).persist()
     objective: list[float] = []
     for _ in range(iters):
         scored = e.crossJoin(F.broadcast(cent_df(C))).select(
@@ -562,6 +565,7 @@ def kmeans_train(
                 newC[cid] = vec / nrm
         C = newC
         objective.append(total_cos / total_n if total_n else 0.0)
+    e.unpersist()
     return cent_df(C), objective
 
 

@@ -138,3 +138,78 @@ def test_result_cache_different_points_miss(spark, fix001, tmp_path):
     b = cached_pip_join(spark, cache, half, polygons).count()
     assert [x["hit"] for x in cache.lineage] == [False, False]
     assert b < a
+
+
+def test_result_cache_lru_eviction_and_stats(spark, tmp_path):
+    """Bounded LRU (avoid.rs:27-135): inserting cap+1 distinct keys evicts
+    the least-recently-used entry; a hit refreshes recency so the next
+    eviction picks the older untouched entry; hit/miss counters recorded."""
+    import time as _time
+
+    from butterfly_osm_spark.checkpoint import ResultCache
+
+    cache = ResultCache(spark, str(tmp_path / "lru"), max_entries=2)
+
+    def compute(n):
+        return lambda: spark.range(n)
+
+    cache.get_or_compute("k1", compute(1))
+    _time.sleep(0.01)
+    cache.get_or_compute("k2", compute(2))
+    _time.sleep(0.01)
+    cache.get_or_compute("k1", compute(1))  # hit — k1 now more recent than k2
+    _time.sleep(0.01)
+    cache.get_or_compute("k3", compute(3))  # insert past cap -> evict k2 (LRU)
+    assert sorted(cache._entries()) == ["k1", "k3"]
+    assert cache.evictions == 1
+    # evicted key recomputes (miss), and the counters add up
+    assert cache.get_or_compute("k2", compute(2)).count() == 2
+    assert cache.hits == 1 and cache.misses == 4
+    rec = [x for x in cache.lineage if "hit" in x]
+    assert [x["hit"] for x in rec] == [False, False, True, False, False]
+    assert rec[-1]["hits"] == 1 and rec[-1]["misses"] == 4
+
+
+def test_result_cache_regenerated_points_miss(spark, tmp_path):
+    """Durable-cache hazard (round-3 advice): regenerating the points
+    parquet at the SAME path must miss — the default inputs_tag carries a
+    content fingerprint (size+mtime) of the source files, not just the
+    plan semantic hash (which keys on path+projection only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from butterfly_osm_spark.checkpoint import ResultCache, cached_pip_join
+
+    pts_path = str(tmp_path / "pts.parquet")
+
+    def write_points(ids):
+        pq.write_table(
+            pa.table(
+                {
+                    "image_id": pa.array([f"p{i}" for i in ids]),
+                    "lon_e7": pa.array([43500000 + 1000 * i for i in ids], type=pa.int32()),
+                    "lat_e7": pa.array([508500000 + 1000 * i for i in ids], type=pa.int32()),
+                }
+            ),
+            pts_path,
+        )
+
+    ring = [
+        {"lon_e7": 43000000, "lat_e7": 508000000},
+        {"lon_e7": 44000000, "lat_e7": 508000000},
+        {"lon_e7": 44000000, "lat_e7": 509000000},
+        {"lon_e7": 43000000, "lat_e7": 509000000},
+    ]
+    polygons = spark.createDataFrame(
+        [("pg0", ring)],
+        "polygon_id STRING, ring ARRAY<STRUCT<lon_e7: INT, lat_e7: INT>>",
+    )
+    cache = ResultCache(spark, str(tmp_path / "rc2"))
+
+    write_points(range(8))
+    a = cached_pip_join(spark, cache, spark.read.parquet(pts_path), polygons).count()
+    # regenerate AT THE SAME PATH with different contents (same schema)
+    write_points(range(3))
+    b = cached_pip_join(spark, cache, spark.read.parquet(pts_path), polygons).count()
+    assert cache.misses == 2 and cache.hits == 0, "regenerated source must not hit"
+    assert a == 8 and b == 3

@@ -86,3 +86,22 @@ def test_incremental_polygon_removal_cleans_partitions(spark, inputs, tmp_path):
     assert info_none["n_cells_total"] == 0 and len(info_none["changed_cells"]) > 0
     assert none_df.count() == 0
     assert set(none_df.columns) == {"point_id", "polygon_id", "cell_p"}
+
+
+def test_cell_fingerprint_not_involutive_on_duplicates(spark, inputs):
+    """Round-3 advice: the per-cell combine must NOT self-cancel — adding
+    an exact duplicate (polygon_id, ring) row has to change the covered
+    cells' fingerprints (bit_xor of two identical hashes was 0)."""
+    from butterfly_osm_spark.incremental import cell_fingerprints
+
+    _, polygons = inputs
+    pid = polygons.select("polygon_id").orderBy("polygon_id").limit(1).collect()[0][0]
+    dup_row = polygons.where(F.col("polygon_id") == pid)
+    doubled = polygons.unionByName(dup_row)
+
+    base = {r["cell_p"]: r["fp"] for r in cell_fingerprints(polygons).collect()}
+    dup = {r["cell_p"]: r["fp"] for r in cell_fingerprints(doubled).collect()}
+    touched = {r["cell_p"] for r in poly_coarse_cover(dup_row).collect()}
+    assert set(base) == set(dup)  # same cover, different content
+    assert all(base[c] != dup[c] for c in touched), "duplicate rows must change the fingerprint"
+    assert all(base[c] == dup[c] for c in set(base) - touched)
