@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "14"
+FIXTURE_VERSION = "15"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -402,6 +402,71 @@ def _gen_embeddings_nd(rng: np.random.Generator, n: int, d: int = 64):
             "vec_id": pa.array(np.arange(n, dtype=np.int64)),
             "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
             "group_id": pa.array(group),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# trained IVF codebook (gentime reference run of operators.ann.kmeans_train)
+# ---------------------------------------------------------------------------
+
+
+def _testdata_dir(sf: str) -> str:
+    root = os.environ.get("SPARK_GRAFT_TESTDATA_ROOT", "/root/testdata")
+    return os.path.join(root, f"sf{sf}")
+
+
+def _kmeans_reference(vec_id: np.ndarray, X: np.ndarray, k: int = 8, iters: int = 5):
+    """Single-threaded reference run of the distributed spherical k-means
+    trainer (operators/ann.py kmeans_train) — same deterministic init
+    (k rows with the smallest md5(vec_id-as-string), hashlib here ==
+    F.md5(cast(vec_id as string)) there), same 9-dp-rounded assignment
+    scores with ties to the lowest centroid_id, same empty-cluster
+    keep-previous rule. The resulting ``ivf_codebook`` table is the REAL
+    trained quantizer the driver-facing ann_cosine_ivf query and its
+    DuckDB oracle both probe; pytest additionally gates that the
+    distributed trainer reproduces these centroids."""
+    import hashlib as _hashlib
+
+    hexes = np.array([_hashlib.md5(str(int(v)).encode()).hexdigest() for v in vec_id])
+    order = np.lexsort((vec_id, hexes))
+    C = X[order[:k]].astype(np.float64).copy()
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    norms = np.sqrt((X * X).sum(axis=1))
+    objective: list[float] = []
+    for _ in range(iters):
+        S = np.round((X @ C.T) / norms[:, None], 9)
+        a = S.argmax(axis=1)  # first max = lowest centroid_id on ties
+        objective.append(float(S[np.arange(len(a)), a].mean()))
+        newC = C.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    newC[c] = v / n
+        C = newC
+    return C, objective
+
+
+def _gen_ivf_codebook(sf: str, embeddings_nd: pa.Table, k: int = 8, iters: int = 5) -> pa.Table:
+    """Train the coarse quantizer on the driver's embeddings table for
+    this sf (the corpus ann_cosine_ivf queries); at scale factors without
+    driver testdata (sf4 scaling runs) fall back to the embeddings_nd
+    fixture so the table always exists."""
+    p = os.path.join(_testdata_dir(sf), "embeddings.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+    else:
+        t = embeddings_nd.select(["vec_id", "embedding"])
+    vid = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    C, _ = _kmeans_reference(vid, X, k=k, iters=iters)
+    return pa.table(
+        {
+            "centroid_id": pa.array(np.arange(k, dtype=np.int32)),
+            "cvec": pa.array(list(C), type=pa.list_(pa.float64())),
         }
     )
 
@@ -952,11 +1017,9 @@ def generate(sf: str, out_dir: str) -> None:
         ),
     )
 
-    _write(
-        out_dir,
-        "embeddings_nd",
-        _gen_embeddings_nd(streams["embeddings_nd"], c["embeddings_nd"]),
-    )
+    embeddings_nd = _gen_embeddings_nd(streams["embeddings_nd"], c["embeddings_nd"])
+    _write(out_dir, "embeddings_nd", embeddings_nd)
+    _write(out_dir, "ivf_codebook", _gen_ivf_codebook(sf, embeddings_nd))
 
     relations, rel_members, rel_tags = _gen_relations(streams["relations"], wn, c["relations"])
     _write(out_dir, "relations", relations)

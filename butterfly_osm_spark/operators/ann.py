@@ -463,12 +463,14 @@ IVF_PROBE = 3
 
 
 def ivf_centroids(embeddings: DataFrame, dim: int = 64) -> DataFrame:
-    """(centroid_id, cvec): coarse-quantizer centroids = per-label mean
-    vectors. In production IVF the quantizer is trained offline (k-means)
-    and supplied as a table — the label column stands in for that
-    externally-supplied codebook. Component sums go through
-    DECIMAL(27,12) so they are order-independent (float partial-agg order
-    varies across partitions/engines), then one double division."""
+    """(centroid_id, cvec): label-mean stand-in quantizer — DEMOTED to a
+    test baseline since round 4: the driver-facing ``ann_cosine_ivf``
+    query probes the TRAINED ``ivf_codebook`` fixture (a gentime
+    reference run of ``kmeans_train``); this stand-in remains only as the
+    recall baseline in tests/test_approx_ops.py. Component sums go
+    through DECIMAL(27,12) so they are order-independent (float
+    partial-agg order varies across partitions/engines), then one double
+    division."""
     dims = embeddings.select(
         "label", F.posexplode(F.col("embedding")).alias("i", "x")
     ).select("label", "i", F.col("x").cast("double").alias("x"))
@@ -496,9 +498,14 @@ def kmeans_train(
     distributed job: broadcast the centroid frame, crossJoin-score, rank
     window, then decimal-exact per-centroid component means (the same
     order-independent aggregation discipline as ``ivf_centroids``). Init
-    is deterministic: the k corpus rows with the smallest
-    ``xxhash64(vec_id)`` (a seeded sample without an RNG). Empty clusters
-    keep their previous centroid. Returns (centroids DataFrame
+    is deterministic AND cross-engine replicable: the k corpus rows with
+    the smallest ``md5(vec_id as string)`` (a seeded sample without an
+    RNG; hashlib.md5 reproduces it at fixture gentime, so the
+    ``ivf_codebook`` fixture is a single-threaded reference run of this
+    exact trainer — see fixtures/generate._kmeans_reference). Assignment
+    scores are rounded to 9 dp before the argmax (ties -> lowest
+    centroid_id) so the distributed fold and the numpy gemm agree. Empty
+    clusters keep their previous centroid. Returns (centroids DataFrame
     (centroid_id, cvec), per-iteration mean-assigned-cosine objective —
     non-decreasing, the Lloyd's convergence witness).
     """
@@ -507,7 +514,7 @@ def kmeans_train(
     spark = embeddings.sparkSession
     seeds = (
         embeddings.select("vec_id", "embedding")
-        .withColumn("h", F.xxhash64("vec_id"))
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
         .limit(k)
         .collect()
@@ -531,7 +538,7 @@ def kmeans_train(
             "vec_id",
             "embedding",
             "centroid_id",
-            (_norm_dot("embedding", "cvec") / F.sqrt(F.col("n2"))).alias("ccos"),
+            F.round(_norm_dot("embedding", "cvec") / F.sqrt(F.col("n2")), 9).alias("ccos"),
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("centroid_id"))
         assigned = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -623,12 +630,23 @@ def ann_cosine_ivf(
     )
 
 
-def ivf_topk_oracle_sql(k: int = 5, n_probe: int = IVF_PROBE, dim: int = 64) -> str:
-    """Full relational replication of the IVF pipeline: decimal-exact
-    centroid means, sequential-fold cosine to centroids (list_dot_product
-    matches the zip_with fold), probe selection, in-cell exact re-rank."""
-    return f"""
-WITH comp AS (
+def ivf_topk_oracle_sql(
+    k: int = 5, n_probe: int = IVF_PROBE, dim: int = 64, codebook_parquet: str | None = None
+) -> str:
+    """Full relational replication of the IVF pipeline: probe + in-cell
+    exact re-rank over the quantizer table, with sequential-fold cosine
+    (list_dot_product matches the zip_with fold).
+
+    ``codebook_parquet`` supplies the TRAINED codebook (the
+    ``ivf_codebook`` fixture — a gentime reference run of
+    ``kmeans_train``); both engines then read the identical doubles, so
+    assign -> probe -> re-rank replicates exactly. Without it the oracle
+    falls back to replicating the label-mean stand-in (decimal-exact
+    centroid means), the test-only path."""
+    if codebook_parquet is not None:
+        cent = f"cent AS (SELECT centroid_id, cvec FROM read_parquet('{codebook_parquet}'))"
+    else:
+        cent = f"""comp AS (
   SELECT label, i,
          CAST(sum(CAST(embedding[i] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS c
   FROM embeddings, unnest(generate_series(1, {dim})) AS t(i)
@@ -636,7 +654,9 @@ WITH comp AS (
 ), cent AS (
   SELECT label AS centroid_id, list(c ORDER BY i) AS cvec
   FROM comp GROUP BY label
-), scored AS (
+)"""
+    return f"""
+WITH {cent}, scored AS (
   SELECT v.vec_id, c.centroid_id,
          round(list_dot_product(v.embedding::DOUBLE[], c.cvec)
                / sqrt(list_dot_product(v.embedding::DOUBLE[], v.embedding::DOUBLE[])

@@ -489,9 +489,16 @@ def q_ann_cosine_lsh(spark, sf_dir):
 
 
 def q_ann_cosine_ivf(spark, sf_dir):
+    """IVF over the TRAINED codebook: the ivf_codebook fixture is a
+    gentime reference run of kmeans_train on this sf's embeddings corpus
+    (pytest gates that the distributed trainer reproduces it); the DuckDB
+    oracle replicates assign -> probe -> re-rank over the same table."""
     from .operators.ann import ann_cosine_ivf
 
-    return ann_cosine_ivf(_embs(spark, sf_dir))
+    fix = _fix(sf_dir)
+    return ann_cosine_ivf(
+        _embs(spark, sf_dir), centroids=_read(spark, fix, "ivf_codebook")
+    )
 
 
 def _sql_text(name: str):
@@ -992,7 +999,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     ).lsh_topk_oracle_sql(f"{_oracle_fix(sf)}/lsh_planes.parquet"),
     "ann_cosine_ivf": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
-    ).ivf_topk_oracle_sql(),
+    ).ivf_topk_oracle_sql(codebook_parquet=f"{_oracle_fix(sf)}/ivf_codebook.parquet"),
     "embedding_neardup": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),

@@ -234,3 +234,28 @@ def test_kmeans_train_and_trained_ivf(spark):
     r_trained = recall(ann_cosine_ivf(emb, k=5, centroids=cent1))
     assert r_trained >= r_label - 0.05, (r_trained, r_label)
     assert r_trained >= 0.5
+
+
+def test_kmeans_reproduces_gentime_codebook(spark, fix001):
+    """The ivf_codebook fixture is a single-threaded reference run of the
+    distributed trainer (same md5 init, 9-dp assignment rounding,
+    empty-cluster rule). The distributed kmeans_train must reproduce it —
+    this is what makes the driver-facing trained-IVF oracle a check of
+    the REAL training path, not a stand-in."""
+    import os
+
+    import numpy as np
+
+    from butterfly_osm_spark.operators.ann import kmeans_train
+
+    ref = {
+        r.centroid_id: np.array(r.cvec)
+        for r in spark.read.parquet(os.path.join(fix001, "ivf_codebook.parquet")).collect()
+    }
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent, obj = kmeans_train(emb, k=8, iters=5)
+    got = {r.centroid_id: np.array(r.cvec) for r in cent.collect()}
+    assert set(got) == set(ref) == set(range(8))
+    for c in ref:
+        assert np.allclose(got[c], ref[c], atol=1e-8), f"centroid {c} diverged"
+    assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:]))
