@@ -222,6 +222,121 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# cluster resolution: pairs -> groups -> canonical keeper (A13 completion;
+# reference dedup-join groups equivalent queries and fans results back,
+# docs/api.md:511)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+) -> tuple[DataFrame, int]:
+    """Distributed connected components by iterative min-label propagation
+    with pointer jumping. ``edges`` = (src, dst) undirected pairs (either
+    direction suffices), ``nodes`` = one ``id`` column (ids must be
+    orderable; labels are node ids). Returns (labels (id, lab) with lab =
+    the component's minimum id, iterations used).
+
+    Scale shape: every iteration is one O(|E|) edge-relax shuffle
+    (join labels on src, groupBy dst min) plus one O(|V|) pointer-jump
+    self-join (lab := lab(lab)) — the doubling step that turns
+    diameter-many rounds into O(log d), the same round bound as
+    large-star/small-star. Nothing is ever collected to the driver: the
+    loop's only action is the scalar changed-row count that decides
+    convergence. Each iteration's label table is cut over via
+    ``localCheckpoint`` — persist alone is NOT enough here: the jump is a
+    self-join, so the LOGICAL plan doubles per iteration and Catalyst
+    analysis goes exponential around ~8 rounds even though the cached
+    data is bounded; checkpointing truncates the lineage so every
+    iteration re-plans from a one-level-deep scan. (On a cluster with
+    executor churn, swap in a reliable ``checkpoint()`` dir — same
+    protocol, durable blocks.)"""
+    e = (
+        edges.selectExpr(f"{edges.columns[0]} AS src", f"{edges.columns[1]} AS dst")
+        .unionByName(edges.selectExpr(f"{edges.columns[1]} AS src", f"{edges.columns[0]} AS dst"))
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(nodes.columns[0]).alias("id"), F.col(nodes.columns[0]).alias("lab")
+    ).localCheckpoint(eager=True)
+    iters = 0
+    converged = False
+    while iters < max_iters:
+        iters += 1
+        nmin = (
+            e.join(labels.select(F.col("id").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        relaxed = labels.join(nmin, "id", "left").select(
+            "id", F.least("lab", "nlab").alias("lab")  # least() skips NULL
+        )
+        parent = relaxed.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
+        jumped = (
+            relaxed.join(parent, F.col("lab") == F.col("p_id"), "left")
+            .select("id", F.least("lab", "p_lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.select("id", F.col("lab").alias("new_lab"))
+            .join(labels, "id")
+            .where(F.col("new_lab") != F.col("lab"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            converged = True
+            break
+    e.unpersist()
+    if not converged:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+    return labels, iters
+
+
+def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster_id, is_keeper): transitive closure over the
+    MinHash-LSH near-dup pairs — every doc labeled with its duplicate
+    cluster (cluster_id = min doc_id of the component, singletons are
+    their own cluster) and exactly one canonical keeper per cluster
+    (keeper = min id). This is the stage that turns pair output into the
+    thing a training-data pipeline actually consumes: a keep/drop
+    decision per document, computed distributively (no driver-side
+    union-find over collected pairs — the classic scale-killer)."""
+    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs, documents.select("doc_id"))
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )
+
+
+def dedup_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB differential oracle: exact-Jaccard pairs (the minhash_lsh
+    recall gate) -> recursive min-label reachability -> per-node min =
+    cluster id. The ``r.lab < e.b`` prune keeps the recursion linear in
+    practice: only labels smaller than the target can still win the min,
+    and the component minimum always propagates (it is smaller than every
+    other member id along any path)."""
+    pairs = ngram_jaccard_oracle_sql(threshold).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node WHERE r.lab < e.b
+)
+SELECT node AS doc_id, min(lab) AS cluster_id, (node = min(lab)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

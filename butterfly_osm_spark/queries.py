@@ -446,6 +446,21 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """A13 completion: near-dup pairs -> connected components -> one
+    canonical keeper per cluster (distributed min-label + pointer
+    jumping; no driver-side union-find)."""
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(_docs(spark, sf_dir), JACCARD_T)
+
+
+def sql_dedup_clusters(sf: str = ORACLE_SF) -> str:
+    from .operators.dedup import dedup_clusters_oracle_sql
+
+    return dedup_clusters_oracle_sql(JACCARD_T)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from .operators.ann import cosine_topk_bruteforce
 
@@ -929,6 +944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -993,6 +1009,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "simhash_pairs": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.dedup", fromlist=["x"]
     ).simhash_oracle_sql(),
+    "dedup_clusters": sql_dedup_clusters,
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
     "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]

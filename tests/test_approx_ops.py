@@ -259,3 +259,59 @@ def test_kmeans_reproduces_gentime_codebook(spark, fix001):
     for c in ref:
         assert np.allclose(got[c], ref[c], atol=1e-8), f"centroid {c} diverged"
     assert all(b >= a - 1e-9 for a, b in zip(obj, obj[1:]))
+
+
+def test_connected_components_log_rounds_and_bounded_state(spark):
+    """Pointer jumping must converge in O(log diameter) rounds — a
+    200-node path graph (diameter 199) must NOT take ~199 min-label
+    rounds — and the label table stays exactly |V| rows (per-iteration
+    work is one O(|E|) relax + one O(|V|) jump; nothing collected)."""
+    from butterfly_osm_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id LONG")
+    labels, iters = connected_components(edges, nodes)
+    assert iters <= 12, f"path graph took {iters} rounds — doubling is broken"
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.lab == 0 for r in rows)
+    labels.unpersist()
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Cluster labels == driver-side union-find over the exact pair set
+    (tiny corpus only — the distributed path exists precisely so this
+    collect-based check never runs at scale)."""
+    from butterfly_osm_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, 0.5).collect()
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r.doc_a), find(r.doc_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = {i: find(i) for i in ids}
+
+    got = {r.doc_id: (r.cluster_id, r.is_keeper) for r in dedup_clusters(docs, 0.5).collect()}
+    assert set(got) == set(want)
+    for i in ids:
+        assert got[i][0] == want[i], f"doc {i} labeled {got[i][0]}, want {want[i]}"
+        assert got[i][1] == (i == want[i])
+    # at least one real multi-doc cluster on this corpus, and keepers are
+    # exactly the cluster minima
+    n_clusters = len({c for c, _ in got.values()})
+    assert n_clusters < len(ids)
+    assert sum(k for _, k in got.values()) == n_clusters
