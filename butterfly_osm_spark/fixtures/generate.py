@@ -52,7 +52,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "15"
+FIXTURE_VERSION = "16"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -467,6 +467,61 @@ def _gen_ivf_codebook(sf: str, embeddings_nd: pa.Table, k: int = 8, iters: int =
         {
             "centroid_id": pa.array(np.arange(k, dtype=np.int32)),
             "cvec": pa.array(list(C), type=pa.list_(pa.float64())),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark table for the contamination_check operator
+# ---------------------------------------------------------------------------
+
+
+def _gen_benchmarks(rng: np.random.Generator, sf: str, n_bench: int = 40) -> pa.Table:
+    """(bench_id, text, planted): a small eval-set stand-in with PLANTED
+    contamination — half the items are contiguous word snippets of the
+    driver's documents for this sf (every 3rd one word-mutated so its
+    8-gram overlap drops below/around the threshold, exercising the
+    frac gate), the rest are clean synthetic word strings. Planted items
+    occupy bench_id 0..n_planted-1 (``planted`` marks them for tests; the
+    operator never reads it). At scale factors without driver testdata
+    all items are clean and the query is legitimately empty."""
+    import hashlib as _hashlib
+
+    texts: list[str] = []
+    planted: list[bool] = []
+    p = os.path.join(_testdata_dir(sf), "documents.parquet")
+    if os.path.exists(p):
+        t = pq.read_table(p, columns=["doc_id", "text"])
+        doc_ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        doc_texts = t.column("text").to_pylist()
+        hexes = np.array([_hashlib.md5(str(int(d)).encode()).hexdigest() for d in doc_ids])
+        order = np.lexsort((doc_ids, hexes))  # stable deterministic sample
+        k = 0
+        for idx in order:
+            if k >= n_bench // 2:
+                break
+            ws = doc_texts[idx].strip().split(" ")
+            if len(ws) < 16:
+                continue
+            m = max(12, int(len(ws) * 0.6))
+            start = int(rng.integers(0, len(ws) - m + 1))
+            snip = list(ws[start : start + m])
+            if k % 3 == 2:  # mutate ~2 spaced words: kills up to 16 8-grams
+                for pos in (m // 3, (2 * m) // 3):
+                    snip[pos] = WORDS[int(rng.integers(0, len(WORDS)))]
+            texts.append(" ".join(snip))
+            planted.append(True)
+            k += 1
+    wl = np.array(WORDS)
+    while len(texts) < n_bench:
+        nw = int(rng.integers(15, 31))
+        texts.append(" ".join(wl[rng.integers(0, len(wl), nw)]))
+        planted.append(False)
+    return pa.table(
+        {
+            "bench_id": pa.array(np.arange(n_bench, dtype=np.int32)),
+            "text": pa.array(texts),
+            "planted": pa.array(planted, type=pa.bool_()),
         }
     )
 
@@ -960,7 +1015,7 @@ def generate(sf: str, out_dir: str) -> None:
     # frozen — append only, never reorder, or all fixture data reshuffles)
     streams = {k: np.random.default_rng([SEED, i]) for i, k in enumerate(
         ["ways", "images", "polygons", "queries", "raster", "observations",
-         "relations", "traces", "embeddings_nd"]
+         "relations", "traces", "embeddings_nd", "benchmarks"]
     )}
     c = _counts(sf)
 
@@ -1020,6 +1075,7 @@ def generate(sf: str, out_dir: str) -> None:
     embeddings_nd = _gen_embeddings_nd(streams["embeddings_nd"], c["embeddings_nd"])
     _write(out_dir, "embeddings_nd", embeddings_nd)
     _write(out_dir, "ivf_codebook", _gen_ivf_codebook(sf, embeddings_nd))
+    _write(out_dir, "benchmarks", _gen_benchmarks(streams["benchmarks"], sf))
 
     relations, rel_members, rel_tags = _gen_relations(streams["relations"], wn, c["relations"])
     _write(out_dir, "relations", relations)

@@ -337,6 +337,97 @@ FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination (train-vs-eval n-gram overlap — the standard
+# LLM-pipeline hygiene gate; same relational shape as the MinHash path)
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8
+CONTAM_MIN_FRAC = 0.5
+
+
+def _word_ngrams_hashed(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gh): DISTINCT md5-derived 60-bit hashes of word n-grams.
+    The hash is the same Spark/DuckDB-identical construction as the
+    simhash word hash (_HASH_WORDS) so the whole pipeline — including the
+    join key — replicates relationally as a differential oracle. Rows
+    shorter than n words contribute nothing."""
+    gram = F.expr(
+        "transform(sequence(0, size(ws) - %d), i -> concat_ws(' ', %s))"
+        % (n, ", ".join(f"ws[i+{j}]" for j in range(n)))
+    )
+    toks = df.select(id_col, F.split(F.trim(text_col), " ").alias("ws"))
+    grams = toks.where(F.size("ws") >= n).select(id_col, F.explode(gram).alias("g"))
+    h = "cast(conv(substring(md5(cast(g as binary)), 1, 15), 16, 10) as bigint)"
+    return grams.select(id_col, F.expr(h).alias("gh")).distinct()
+
+
+def contamination_check(
+    documents: DataFrame,
+    benchmarks: DataFrame,
+    n: int = CONTAM_NGRAM,
+    min_frac: float = CONTAM_MIN_FRAC,
+) -> DataFrame:
+    """(doc_id, bench_id, n_overlap, overlap_frac): training documents
+    sharing >= ``min_frac`` of a benchmark item's word ``n``-grams —
+    the docs a pipeline must drop before training lest the benchmark
+    leak into the train set.
+
+    Scale shape: the benchmark side is SMALL by construction (eval sets
+    are bounded), so its distinct shingle hashes broadcast; the corpus
+    side projects to (doc_id, 8-byte hash) — payload bytes never move —
+    and streams through a broadcast hash join with NO corpus shuffle;
+    the only exchange is the groupBy of MATCHED rows, which is sized by
+    the contamination actually present, not the corpus."""
+    doc_g = _word_ngrams_hashed(documents, "doc_id", "text", n)
+    ben_g = _word_ngrams_hashed(benchmarks, "bench_id", "text", n)
+    ben_n = ben_g.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_g.join(F.broadcast(ben_g), "gh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(F.col("n_overlap") / F.col("n_shingles"), 6)
+    return (
+        hits.join(F.broadcast(ben_n), "bench_id")
+        .withColumn("overlap_frac", frac)
+        .where(F.col("overlap_frac") >= min_frac)
+        .select("doc_id", "bench_id", "n_overlap", "overlap_frac")
+    )
+
+
+def contamination_oracle_sql(
+    benchmarks_parquet: str, n: int = CONTAM_NGRAM, min_frac: float = CONTAM_MIN_FRAC
+) -> str:
+    """Full relational replication: same n-gram window, same md5-60-bit
+    join key, same distinct/count/threshold discipline."""
+    doc_terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(n))
+    return f"""
+WITH dg AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5({doc_terms}), 1, 15)) AS BIGINT) AS gh
+  FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents) t,
+       unnest(generate_series(1, len(ws) - {n - 1})) AS s(i)
+  WHERE len(ws) >= {n}
+), bg AS (
+  SELECT DISTINCT bench_id,
+         CAST(('0x' || substr(md5({doc_terms}), 1, 15)) AS BIGINT) AS gh
+  FROM (SELECT bench_id, string_split(trim(text), ' ') AS ws
+        FROM read_parquet('{benchmarks_parquet}')) t,
+       unnest(generate_series(1, len(ws) - {n - 1})) AS s(i)
+  WHERE len(ws) >= {n}
+), bn AS (SELECT bench_id, count(*) AS n FROM bg GROUP BY bench_id),
+hits AS (
+  SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM dg d JOIN bg b USING (gh) GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_overlap,
+       round(CAST(n_overlap AS DOUBLE) / n, 6) AS overlap_frac
+FROM hits JOIN bn USING (bench_id)
+WHERE round(CAST(n_overlap AS DOUBLE) / n, 6) >= {min_frac}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

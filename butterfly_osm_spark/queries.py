@@ -446,6 +446,24 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir))
 
 
+def q_contamination_check(spark, sf_dir):
+    """Train-vs-benchmark 8-gram overlap over the driver's documents and
+    the planted-contamination benchmarks fixture (bench side broadcasts;
+    the corpus never shuffles)."""
+    from .operators.dedup import contamination_check
+
+    fix = _fix(sf_dir)
+    return contamination_check(
+        _docs(spark, sf_dir), _read(spark, fix, "benchmarks").select("bench_id", "text")
+    )
+
+
+def sql_contamination_check(sf: str = ORACLE_SF) -> str:
+    from .operators.dedup import contamination_oracle_sql
+
+    return contamination_oracle_sql(f"{_oracle_fix(sf)}/benchmarks.parquet")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """A13 completion: near-dup pairs -> connected components -> one
     canonical keeper per cluster (distributed min-label + pointer
@@ -945,6 +963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "contamination_check": q_contamination_check,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -1010,6 +1029,7 @@ ORACLES: dict[str, Callable[..., str]] = {
         "butterfly_osm_spark.operators.dedup", fromlist=["x"]
     ).simhash_oracle_sql(),
     "dedup_clusters": sql_dedup_clusters,
+    "contamination_check": sql_contamination_check,
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
     "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]

@@ -315,3 +315,36 @@ def test_dedup_clusters_matches_union_find(spark):
     n_clusters = len({c for c, _ in got.values()})
     assert n_clusters < len(ids)
     assert sum(k for _, k in got.values()) == n_clusters
+
+
+def test_contamination_check_planted_and_plan(spark, fix001):
+    """Planted benchmark snippets must be flagged against their source
+    docs (unmutated ones at overlap_frac 1.0); clean synthetic items must
+    produce no rows; and the physical plan must broadcast the benchmark
+    side (the corpus never shuffles — that is the 100 TB shape)."""
+    import os
+
+    from butterfly_osm_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = spark.read.parquet(os.path.join(fix001, "benchmarks.parquet"))
+    out = contamination_check(docs, bench.select("bench_id", "text"))
+    rows = out.collect()
+    assert len(rows) > 0
+
+    flagged = {r.bench_id for r in rows}
+    planted = {r.bench_id for r in bench.where("planted").collect()}
+    clean = {r.bench_id for r in bench.where("NOT planted").collect()}
+    assert flagged <= planted, "clean items must never be flagged"
+    # unmutated planted items (bench_id % 3 != 2 by generation contract)
+    # are verbatim snippets -> full-overlap hit
+    exact_expected = {b for b in planted if b % 3 != 2}
+    exact_hit = {r.bench_id for r in rows if r.overlap_frac == 1.0}
+    assert exact_expected <= exact_hit
+    # mutated items sit below the 0.5 gate on these snippet lengths, so
+    # the threshold is doing real work (they DO appear at min_frac=0)
+    lo = contamination_check(docs, bench.select("bench_id", "text"), min_frac=1e-9)
+    assert {r.bench_id for r in lo.collect()} == planted
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "benchmark side must broadcast"
