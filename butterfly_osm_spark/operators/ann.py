@@ -320,6 +320,30 @@ def make_chunks_udf(dim: int, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND)
     return chunks
 
 
+def auto_probe_bits(n_rows: int, bits: int = BITS_PER_BAND) -> int:
+    """Multiprobe policy from the measured cost/recall regimes (PLANS.md
+    multiprobe table) so mid-cosine recall does not depend on the caller
+    knowing the knob:
+
+    - scale preset (bits >= LSH_SCALE_BITS) -> 0 probes: the 16-bit
+      bucket space is sized for the high-similarity near-dup regime where
+      banding alone has near-unit recall (measured 0.983@k=10 at 10^6
+      rows); probing would only multiply the query-side rows.
+    - over-provisioned buckets (2^bits >= corpus) -> 0 probes: each band
+      chunk is already near-unique, banding collisions dominate recall.
+    - under-provisioned narrow buckets (the 8-bit default on a corpus
+      bigger than its 256 buckets/band) -> 2 probes: the measured 2-flip
+      neighborhood lifts mid-cosine pair recall from <0.7 to >= 0.95 at a
+      37x query-side row factor (and query-side ONLY — the corpus side of
+      the bucket join is untouched).
+
+    Explicit ``probe_bits`` overrides always win; this is only the
+    default."""
+    if bits >= LSH_SCALE_BITS or (1 << bits) >= n_rows:
+        return 0
+    return 2
+
+
 def _probe_masks(bits: int, probe_bits: int) -> list[int]:
     """All XOR masks of popcount <= probe_bits over a ``bits``-wide chunk
     (mask 0 first = the exact bucket)."""
@@ -414,13 +438,20 @@ def cosine_topk_lsh(
     n_bands: int = N_BANDS,
     bits: int = BITS_PER_BAND,
     query_ids: DataFrame | None = None,
+    probe_bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-sketch band join -> exact re-rank of
     candidates only.  Same output schema as the brute force; recall and
     candidate-set size are gated in tests; the full pipeline (sketch bits
     included) is replicated relationally by ``lsh_topk_oracle_sql``.
-    ``query_ids`` restricts the query side (see ``lsh_candidates``)."""
-    cand = lsh_candidates(embeddings, dim, n_bands, bits, query_ids=query_ids)
+    ``query_ids`` restricts the query side (see ``lsh_candidates``).
+    ``probe_bits`` defaults to the measured-regime policy
+    ``auto_probe_bits(corpus_size, bits)`` (explicit values override)."""
+    if probe_bits is None:
+        probe_bits = auto_probe_bits(embeddings.count(), bits)
+    cand = lsh_candidates(
+        embeddings, dim, n_bands, bits, query_ids=query_ids, probe_bits=probe_bits
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         _cosine_join(cand, embeddings)
@@ -689,13 +720,28 @@ FROM ranked WHERE rank <= {k}
 
 
 def lsh_topk_oracle_sql(
-    planes_parquet: str, k: int = 5, n_bands: int = N_BANDS, bits: int = BITS_PER_BAND
+    planes_parquet: str,
+    k: int = 5,
+    n_bands: int = N_BANDS,
+    bits: int = BITS_PER_BAND,
+    probe_bits: int = 0,
 ) -> str:
     """Full relational replication of the LSH pipeline for DuckDB: sign
     bits against the fixture plane table, band chunks, bucket self-join,
     exact cosine re-rank, top-k window — a differential oracle of the
     operator's SEMANTICS (recall properties are gated separately in
-    pytest)."""
+    pytest). ``probe_bits`` > 0 replicates multiprobe: the query side
+    explodes by the same XOR-mask list the Spark operator uses."""
+    if probe_bits > 0:
+        masks = ", ".join(str(m) for m in _probe_masks(bits, probe_bits))
+        qside = f"""probed AS (
+  SELECT vec_id, band_id, xor(chunk, CAST(m AS BIGINT)) AS chunk
+  FROM chunks, unnest([{masks}]) AS mt(m)
+), """
+        qsrc = "probed"
+    else:
+        qside = ""
+        qsrc = "chunks"
     return f"""
 WITH bits AS (
   SELECT v.vec_id, p.plane_id,
@@ -703,11 +749,11 @@ WITH bits AS (
   FROM embeddings v CROSS JOIN read_parquet('{planes_parquet}') p
 ), chunks AS (
   SELECT vec_id, plane_id // {bits} AS band_id,
-         sum(bit * (CAST(1 AS BIGINT) << (plane_id % {bits}))) AS chunk
+         CAST(sum(bit * (CAST(1 AS BIGINT) << (plane_id % {bits}))) AS BIGINT) AS chunk
   FROM bits GROUP BY vec_id, plane_id // {bits}
-), cand AS (
+), {qside}cand AS (
   SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id
-  FROM chunks a JOIN chunks b
+  FROM {qsrc} a JOIN chunks b
     ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.vec_id <> b.vec_id
 ), scored AS (
   SELECT c.vec_id, c.neighbor_id,

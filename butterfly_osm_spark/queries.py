@@ -516,9 +516,27 @@ def sql_embedding_neardup_lsh(sf: str = ORACLE_SF) -> str:
 
 
 def q_ann_cosine_lsh(spark, sf_dir):
+    """LSH top-k with the multiprobe AUTO-POLICY active (probe_bits =
+    auto_probe_bits(corpus, bits): 2 at the 8-bit default on these
+    corpora); the oracle replicates the identical mask explode."""
     from .operators.ann import cosine_topk_lsh
 
     return cosine_topk_lsh(_embs(spark, sf_dir))
+
+
+def sql_ann_cosine_lsh(sf: str = ORACLE_SF) -> str:
+    import pyarrow.parquet as pq
+
+    from .fixtures.generate import _testdata_dir
+    from .operators.ann import BITS_PER_BAND, auto_probe_bits, lsh_topk_oracle_sql
+
+    n = pq.read_metadata(
+        os.path.join(_testdata_dir(sf), "embeddings.parquet")
+    ).num_rows
+    return lsh_topk_oracle_sql(
+        f"{_oracle_fix(sf)}/lsh_planes.parquet",
+        probe_bits=auto_probe_bits(n, BITS_PER_BAND),
+    )
 
 
 def q_ann_cosine_ivf(spark, sf_dir):
@@ -1031,9 +1049,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "dedup_clusters": sql_dedup_clusters,
     "contamination_check": sql_contamination_check,
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
-    "ann_cosine_lsh": lambda sf=ORACLE_SF: __import__(
-        "butterfly_osm_spark.operators.ann", fromlist=["x"]
-    ).lsh_topk_oracle_sql(f"{_oracle_fix(sf)}/lsh_planes.parquet"),
+    "ann_cosine_lsh": sql_ann_cosine_lsh,
     "ann_cosine_ivf": lambda sf=ORACLE_SF: __import__(
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).ivf_topk_oracle_sql(codebook_parquet=f"{_oracle_fix(sf)}/ivf_codebook.parquet"),

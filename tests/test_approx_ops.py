@@ -348,3 +348,22 @@ def test_contamination_check_planted_and_plan(spark, fix001):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "benchmark side must broadcast"
+
+
+def test_auto_probe_policy_pins_measured_regimes():
+    """The multiprobe default must encode the documented regimes
+    (PLANS.md cost/recall table): 0 probes at the 16-bit scale preset at
+    any corpus size; 2 at the 8-bit default on a corpus bigger than its
+    256 buckets/band; 0 when the bucket space over-provisions the corpus
+    (each band chunk already near-unique)."""
+    from butterfly_osm_spark.operators.ann import (
+        BITS_PER_BAND,
+        LSH_SCALE_BITS,
+        auto_probe_bits,
+    )
+
+    assert auto_probe_bits(10**12, LSH_SCALE_BITS) == 0
+    assert auto_probe_bits(500, LSH_SCALE_BITS) == 0
+    assert auto_probe_bits(500, BITS_PER_BAND) == 2
+    assert auto_probe_bits(2500, BITS_PER_BAND) == 2
+    assert auto_probe_bits(100, BITS_PER_BAND) == 0
