@@ -211,6 +211,7 @@ def knn_join(
     target_id: str = "id",
     r0: int = RING_R0,
     ring_growth: int = RING_GROWTH,
+    materialize_remaining: bool = True,
 ) -> DataFrame:
     """Top-k nearest targets per query point under the snap cutoff.
 
@@ -314,6 +315,19 @@ def knn_join(
         # queries with zero candidates so far are absent from ranked and
         # must keep widening — hence anti-join on the done set
         remaining = remaining.join(done_q, "query_id", "left_anti")
+        if materialize_remaining:
+            # measured lever (round-4): cache the pruned query set so the
+            # next phase's shell explode plans over a materialized table
+            # instead of re-planning the anti-join under the explode.
+            # A/B (scripts/measure_knn_prune.py, sf0.1/local[32], two
+            # independent min-of-3 rounds): 7.21/8.49 s lazy vs 6.72/7.90 s
+            # materialized — +7 % both rounds and tighter pass-to-pass
+            # spread; results hash-identical (asserted in the script).
+            # The cost is one bounded persist + count of the (small,
+            # query-side-only) open set per widening phase.
+            remaining = remaining.persist()
+            remaining.count()
+            phase_frames.append(remaining)
         carried = ranked.join(done_q, "query_id", "left_anti").select(
             "query_id", "k", "node_id", "d2"
         )
