@@ -31,6 +31,12 @@ on demand, atomic tmp->rename commit, ``_SUCCESS`` marker):
 - raster_tiles(tile_lat, tile_lon, samples_per_side, data)  SRTM-shaped
   1-degree tiles, row-major big-endian i16 (north-to-south rows), ~1%
   voids (-32768), 12 of the 15 bbox tiles loaded (coverage gaps on purpose)
+- audio(clip_id, pcm BINARY s16le, sr, n_samples, samples ARRAY<INT>)
+  raw-PCM clips; the samples array is the DuckDB-side differential basis
+- videos(video_id, frames BINARY, w, h, n_frames, fps)  contiguous raw
+  grayscale planes + frame_truth(video_id, frame_idx, mean, std, diff4)
+- pings(user_id, ts_s BIGINT, lon_e7, lat_e7)  sessionization events,
+  gap-unambiguous under the 1800 s threshold
 
 Row counts scale as sf/0.01 from the sf=0.01 base (ways 3000, images
 20000, queries 1500); polygons fixed at 200; image *payload* rows are
@@ -52,7 +58,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "16"
+FIXTURE_VERSION = "17"
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -102,6 +108,9 @@ def _counts(sf: str) -> dict[str, int]:
         "polygons": 200,
         "relations": max(40, int(400 * scale)),
         "embeddings_nd": max(300, int(1500 * scale)),
+        "audio": max(100, int(400 * scale)),
+        "videos": max(40, int(160 * scale)),
+        "ping_users": max(50, int(300 * scale)),
     }
 
 
@@ -607,7 +616,18 @@ def _gen_images(rng: np.random.Generator, n_geo: int):
             decoded = decode_qnt(enc)
             phashes.append(phash64(decoded))
         nw = int(rng.integers(5, 21))
-        captions.append(" ".join(wl[rng.integers(0, len(wl), nw)]))
+        drawn = " ".join(wl[rng.integers(0, len(wl), nw)])
+        if 0 <= d < i and d in donors:
+            # cross-modal near-dup: seeded image dups ALSO reuse the donor
+            # caption with one word swapped (word drawn from the row's own
+            # caption stream — rng consumption identical to non-dup rows,
+            # so no other table's data reshuffles). This gives the
+            # crossmodal_neardup operator planted pairs where image phash
+            # AND caption shingles agree.
+            cw = captions[d].split()
+            cw[0] = drawn.split()[0]
+            drawn = " ".join(cw)
+        captions.append(drawn)
         # golden truth for the decode/resize oracles: stats of what a
         # correct decode of the stored blob must yield (for PNG this is
         # the PRE-encode array, so the Spark-side PNG decode is verified
@@ -1003,6 +1023,154 @@ def _gen_observations(rng: np.random.Generator, wn: dict):
 
 
 # ---------------------------------------------------------------------------
+# audio / video / pings (multimodal + sessionization fixtures)
+# ---------------------------------------------------------------------------
+
+AUDIO_SR = 4000
+AUDIO_CLIP_T = 32000  # |sample| >= this counts as clipped
+
+
+def _gen_audio(rng: np.random.Generator, n_clips: int):
+    """Raw-PCM audio clips (multimodal mandate: audio as opaque binary +
+    typed metadata; no audio libs in the container, so the codec is raw
+    s16le — a REAL decode, not a stub). ``samples`` carries the SAME
+    waveform as ARRAY<INT> so DuckDB recomputes every feature
+    relationally from the array while Spark recomputes it from the
+    bytes — a true differential oracle for the mapInPandas decode
+    (np.frombuffer must exactly invert tobytes).
+
+    Content: two-tone sinusoid mixes + gaussian noise; ~10% near-silent
+    clips (rms/zcr edge) and ~5% driven into clipping (clip_frac > 0)."""
+    lens = np.array([1600, 2048, 3200])
+    ids: list[str] = []
+    blobs: list[bytes] = []
+    lists: list[np.ndarray] = []
+    for i in range(n_clips):
+        n = int(lens[rng.integers(0, 3)])
+        t = np.arange(n, dtype=np.float64) / AUDIO_SR
+        kind = rng.random()
+        if kind < 0.10:  # near-silence
+            x = rng.normal(0, 30.0, n)
+        else:
+            f1, f2 = rng.uniform(80, 900, 2)
+            a1, a2 = rng.uniform(0.15, 0.55, 2)
+            p1, p2 = rng.uniform(0, 2 * np.pi, 2)
+            amp = 1.25 if kind > 0.95 else 1.0  # ~5% clipped
+            x = amp * 32767.0 * (
+                a1 * np.sin(2 * np.pi * f1 * t + p1) + a2 * np.sin(2 * np.pi * f2 * t + p2)
+            )
+            x = x + rng.normal(0, 120.0, n)
+        s = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+        ids.append(f"clip{i:07d}")
+        blobs.append(s.astype("<i2").tobytes())
+        lists.append(s.astype(np.int32))
+    off = np.concatenate([[0], np.cumsum([len(s) for s in lists])]).astype(np.int32)
+    flat = np.concatenate(lists) if lists else np.array([], dtype=np.int32)
+    return pa.table(
+        {
+            "clip_id": pa.array(ids),
+            "pcm": pa.array(blobs, type=pa.binary()),
+            "sr": pa.array(np.full(n_clips, AUDIO_SR, dtype=np.int32)),
+            "n_samples": pa.array(np.array([len(s) for s in lists], dtype=np.int32)),
+            "samples": pa.ListArray.from_arrays(pa.array(off), pa.array(flat)),
+        }
+    )
+
+
+def _gen_videos(rng: np.random.Generator, n_videos: int):
+    """Grayscale raw-frame video clips: ``frames`` = n_frames contiguous
+    w*h uint8 planes (fixed stride — the frame "codec" is a slice, real
+    not stubbed; image/video libs absent from the container). ~50% of
+    clips contain one hard scene cut; frames drift (np.roll pan) with
+    per-frame noise. ``frame_truth`` holds PRE-encode per-frame stats +
+    diff4 = mean |f_t - f_{t-4}| so the Spark-side slice/decode and the
+    sampled-diff cut detector are verified end-to-end (same pattern as
+    image_truth for stills)."""
+    sizes = np.array([16, 32])
+    v_rows: list[tuple] = []
+    t_rows: list[tuple] = []
+    for i in range(n_videos):
+        w = int(sizes[rng.integers(0, 2)])
+        h = int(sizes[rng.integers(0, 2)])
+        nf = int(rng.integers(16, 33))
+        fps = 8
+        cut = int(rng.integers(5, nf - 3)) if rng.random() < 0.5 else nf + 1
+        scene_a = _gen_image(rng, w, h).astype(np.float64)
+        scene_b = _gen_image(rng, w, h).astype(np.float64)
+        dx, dy = rng.uniform(-1.5, 1.5, 2)
+        frames = np.empty((nf, h, w), dtype=np.uint8)
+        for ti in range(nf):
+            base = scene_a if ti < cut else scene_b
+            shifted = np.roll(
+                np.roll(base, int(round(dx * ti)), axis=1), int(round(dy * ti)), axis=0
+            )
+            frames[ti] = np.clip(shifted + rng.normal(0, 4.0, (h, w)), 0, 255).astype(np.uint8)
+        vid = f"vid{i:06d}"
+        v_rows.append((vid, frames.tobytes(), w, h, nf, fps))
+        f64 = frames.astype(np.float64)
+        for ti in range(nf):
+            diff4 = round(float(np.abs(f64[ti] - f64[ti - 4]).mean()), 3) if ti >= 4 else None
+            t_rows.append(
+                (vid, ti, round(float(f64[ti].mean()), 3), round(float(f64[ti].std()), 3), diff4)
+            )
+    vc = list(zip(*v_rows))
+    tc = list(zip(*t_rows))
+    videos = pa.table(
+        {
+            "video_id": pa.array(list(vc[0])),
+            "frames": pa.array(list(vc[1]), type=pa.binary()),
+            "w": pa.array(np.array(vc[2], dtype=np.int32)),
+            "h": pa.array(np.array(vc[3], dtype=np.int32)),
+            "n_frames": pa.array(np.array(vc[4], dtype=np.int32)),
+            "fps": pa.array(np.array(vc[5], dtype=np.int32)),
+        }
+    )
+    truth = pa.table(
+        {
+            "video_id": pa.array(list(tc[0])),
+            "frame_idx": pa.array(np.array(tc[1], dtype=np.int32)),
+            "mean": pa.array(np.array(tc[2], dtype=np.float64)),
+            "std": pa.array(np.array(tc[3], dtype=np.float64)),
+            "diff4": pa.array([None if v is None else float(v) for v in tc[4]], type=pa.float64()),
+        }
+    )
+    return videos, truth
+
+
+PING_BASE_S = 1_755_000_000  # fixed epoch base (determinism: no wall clock)
+
+
+def _gen_pings(rng: np.random.Generator, n_users: int):
+    """Event stream for sessionization: per-user bursts of pings with
+    intra-session gaps of 10-600 s and inter-session gaps of 2000-20000 s
+    — unambiguous under the 1800 s session threshold (no boundary rows).
+    ``ts_s`` is integer epoch seconds (tz-free, hashes identically in
+    Spark and DuckDB). Coordinates jitter around a per-session city."""
+    rows: list[tuple] = []
+    for u in range(n_users):
+        uid = f"user{u:05d}"
+        t = PING_BASE_S + int(rng.integers(0, 86_400))
+        for _s in range(int(rng.integers(1, 5))):
+            cx, cy = CITIES[int(rng.integers(0, len(CITIES)))]
+            n_ev = int(rng.integers(3, 25))
+            for _e in range(n_ev):
+                lon = cx + rng.normal(0, 0.02)
+                lat = cy + rng.normal(0, 0.02)
+                rows.append((uid, t, int(round(lon * E7)), int(round(lat * E7))))
+                t += int(rng.integers(10, 600))
+            t += int(rng.integers(2_000, 20_000))
+    c = list(zip(*rows))
+    return pa.table(
+        {
+            "user_id": pa.array(list(c[0])),
+            "ts_s": pa.array(np.array(c[1], dtype=np.int64)),
+            "lon_e7": pa.array(np.array(c[2], dtype=np.int32)),
+            "lat_e7": pa.array(np.array(c[3], dtype=np.int32)),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
 
@@ -1015,7 +1183,8 @@ def generate(sf: str, out_dir: str) -> None:
     # frozen — append only, never reorder, or all fixture data reshuffles)
     streams = {k: np.random.default_rng([SEED, i]) for i, k in enumerate(
         ["ways", "images", "polygons", "queries", "raster", "observations",
-         "relations", "traces", "embeddings_nd", "benchmarks"]
+         "relations", "traces", "embeddings_nd", "benchmarks", "audio",
+         "videos", "pings"]
     )}
     c = _counts(sf)
 
@@ -1100,6 +1269,11 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "raster_tiles", raster_tiles)
     _write(out_dir, "raster_cells", raster_cells)
     _write(out_dir, "observations", _gen_observations(streams["observations"], wn))
+    _write(out_dir, "audio", _gen_audio(streams["audio"], c["audio"]))
+    videos, frame_truth = _gen_videos(streams["videos"], c["videos"])
+    _write(out_dir, "videos", videos)
+    _write(out_dir, "frame_truth", frame_truth)
+    _write(out_dir, "pings", _gen_pings(streams["pings"], c["ping_users"]))
     n_traces = max(20, int(200 * float(sf) / 0.01))
     _write(out_dir, "traces", _gen_traces(streams["traces"], wn, n_traces))
 

@@ -210,3 +210,96 @@ FROM read_parquet('{fix}/images.parquet') a
 JOIN read_parquet('{fix}/images.parquet') b
   ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-modal near-dup (image phash AND caption shingles agree)
+# ---------------------------------------------------------------------------
+
+CAPTION_JACCARD_T = 0.4
+
+
+def crossmodal_neardup(
+    images: DataFrame,
+    max_hamming: int = MAX_HAMMING,
+    jaccard_t: float = CAPTION_JACCARD_T,
+) -> DataFrame:
+    """(img_a, img_b, hamming, jaccard): pairs that are near-duplicates
+    in BOTH modalities — phash hamming <= max_hamming AND caption
+    word-3-gram Jaccard >= jaccard_t.
+
+    Two-modality agreement is the production cross-check for scraped
+    image+caption corpora: pixel-only near-dup merges distinct posts
+    sharing a stock photo; caption-only merges distinct photos sharing a
+    boilerplate caption. Requiring both kills each failure mode.
+
+    Plan shape: candidates come from the 16-bit phash band equi-join
+    (sub-quadratic, pigeonhole-complete for the hamming bound —
+    ``phash_neardup_pairs``); the caption Jaccard is then verified
+    JVM-side with array_intersect/array_union on the BOUNDED candidate
+    set only, so caption shingles of non-candidate rows never join.
+    At 100 TB both sides shuffle only (id, 8-byte hash/band) rows plus
+    candidate captions — never image bytes."""
+    pairs = phash_neardup_pairs(images, max_hamming)
+    from .dedup import _SHINGLE_EXPR
+
+    sh = (
+        images.select("image_id", F.split(F.trim("caption"), " ").alias("ws"))
+        .select(
+            "image_id",
+            F.when(F.size("ws") >= 3, F.array_distinct(F.expr(_SHINGLE_EXPR)))
+            .otherwise(F.array(F.concat_ws(" ", "ws")))
+            .alias("sh"),
+        )
+    )
+    a = sh.select(F.col("image_id").alias("img_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("image_id").alias("img_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(a, "img_a")
+        .join(b, "img_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= jaccard_t)
+        .select("img_a", "img_b", "hamming", "jaccard")
+    )
+
+
+def crossmodal_neardup_oracle_sql(
+    fix: str, max_hamming: int = MAX_HAMMING, jaccard_t: float = CAPTION_JACCARD_T
+) -> str:
+    """Brute-force oracle: all phash-hamming pairs (no banding), caption
+    shingles recomputed relationally (ngram_jaccard pattern). Doubles as
+    a band-recall gate: a pair the banded path misses reds this row."""
+    img = f"read_parquet('{fix}/images.parquet')"
+    return f"""
+WITH toks AS (
+  SELECT image_id, string_split(trim(caption), ' ') AS ws FROM {img}
+), sh AS (
+  SELECT DISTINCT image_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+  UNION
+  SELECT image_id, trim(caption) AS shingle FROM {img}
+  WHERE len(string_split(trim(caption), ' ')) < 3
+), n AS (SELECT image_id, count(*) AS n FROM sh GROUP BY image_id),
+cand AS (
+  SELECT a.image_id AS img_a, b.image_id AS img_b,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM {img} a JOIN {img} b
+    ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+), i AS (
+  SELECT sa.image_id AS img_a, sb.image_id AS img_b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle AND sa.image_id < sb.image_id
+  GROUP BY 1, 2
+)
+SELECT img_a, img_b, hamming, jaccard FROM (
+  SELECT c.img_a, c.img_b, c.hamming,
+         round(CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(i.i, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN i ON i.img_a = c.img_a AND i.img_b = c.img_b
+  JOIN n na ON na.image_id = c.img_a
+  JOIN n nb ON nb.image_id = c.img_b
+) WHERE jaccard >= {jaccard_t}
+"""

@@ -1,0 +1,187 @@
+"""Audio / video payload operators (multimodal mandate, axes A+B).
+
+The reference's payloads are spatial, not multimodal — these operators
+extend the graft the same way operators/images.py does for stills: the
+media payload is an opaque BINARY column with typed metadata (the
+input_hint pattern, BASELINE.json), decoded inside Arrow-batched
+``mapInPandas`` so bytes stream through Python once per partition and
+NEVER shuffle (project ids/metadata first; only the feature rows — a few
+dozen bytes/row — hit any exchange).
+
+Codecs are REAL, not stubbed, because both formats are chosen to need no
+external libs (none are in the container):
+
+- audio: raw PCM s16le — ``np.frombuffer`` is the decoder. The fixture
+  stores the SAME waveform as an ARRAY<INT> column, so DuckDB recomputes
+  every feature relationally from the array while Spark recomputes it
+  from the bytes: a genuine differential oracle over the decode.
+- video: contiguous raw grayscale planes with fixed stride w*h — the
+  frame "codec" is a strided slice. Per-frame goldens (``frame_truth``)
+  are computed from the PRE-serialization array at gentime, so the
+  Spark-side slice must invert ``tobytes`` exactly (the image_truth
+  pattern, fixtures/generate.py).
+
+Where a real cluster would add JPEG/H.264 decode, only the body of the
+batch loop changes — the plumbing (schema, Arrow batching, partition
+posture) is what these operators pin down.
+
+At 100 TB: both operators are embarrassingly parallel map-only plans —
+no shuffle at all before the (optional) downstream aggregation; scan
+partitions sized by ``spark.sql.files.maxPartitionBytes`` carry the
+payload column pruned to exactly the rows each task owns.
+
+Reference parity: the reference has no audio/video surface; the graft
+mandate ("treat image/audio/video as opaque binary columns with typed
+metadata") and docs/api.md:306-331 (opaque-payload tile streaming) set
+the semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+AUDIO_CLIP_T = 32000  # |sample| >= this counts toward clip_frac
+FRAME_STRIDE = 4  # sample every 4th frame
+CUT_THRESHOLD = 12.0  # mean |f_t - f_{t-4}| above this flags a scene cut
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType()),
+        StructField("sr", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("energy", LongType()),
+        StructField("zcr", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("n_clipped", LongType()),
+    ]
+)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Decode s16le PCM and emit per-clip features:
+
+    - ``n_samples`` from the byte length (len/2 — verifies framing),
+    - ``energy`` = sum(s^2) (exact BIGINT; rms = sqrt(energy/n)),
+    - ``zcr`` = count of strict sign changes (s[i-1]*s[i] < 0),
+    - ``peak`` = max(|s|),
+    - ``n_clipped`` = count with |s| >= 32000.
+
+    All features are exact integers ON PURPOSE: the DuckDB oracle
+    recomputes them from the parallel samples array, and integer sums
+    have no float-rounding boundary for the hash compare to trip on
+    (derived floats like rms/clip_frac are one division away for a
+    consumer). Vectorized numpy per batch; only (clip_id, sr, pcm) are
+    read — the samples array is pruned at the parquet scan on the Spark
+    side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = np.frombuffer(r.pcm, dtype="<i2").astype(np.int64)
+                n = len(s)
+                energy = int(np.sum(s * s))
+                zcr = int(np.count_nonzero(s[:-1] * s[1:] < 0)) if n > 1 else 0
+                peak = int(np.max(np.abs(s))) if n else 0
+                n_clipped = int(np.count_nonzero(np.abs(s) >= AUDIO_CLIP_T))
+                rows.append((r.clip_id, int(r.sr), n, energy, zcr, peak, n_clipped))
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    return audio.select("clip_id", "sr", "pcm").mapInPandas(gen, schema=_AUDIO_SCHEMA)
+
+
+def audio_features_oracle_sql(fix: str) -> str:
+    """DuckDB recomputes the identical features from the ``samples``
+    ARRAY column (written from the same waveform the pcm bytes were) —
+    unnest + lag over the generated subscript."""
+    return f"""
+WITH s AS (
+  SELECT clip_id, sr, unnest(samples) AS v, generate_subscripts(samples, 1) AS i
+  FROM read_parquet('{fix}/audio.parquet')
+), lagged AS (
+  SELECT clip_id, sr, v, lag(v) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+  FROM s
+)
+SELECT clip_id,
+       CAST(any_value(sr) AS INT) AS sr,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+       CAST(coalesce(sum(CASE WHEN CAST(pv AS BIGINT) * v < 0 THEN 1 END), 0) AS BIGINT) AS zcr,
+       CAST(max(abs(v)) AS INT) AS peak,
+       CAST(coalesce(sum(CASE WHEN abs(v) >= {AUDIO_CLIP_T} THEN 1 END), 0) AS BIGINT) AS n_clipped
+FROM lagged
+GROUP BY clip_id
+"""
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+        StructField("diff4", DoubleType()),
+        StructField("is_cut", BooleanType()),
+    ]
+)
+
+
+def frame_sample(videos: DataFrame, stride: int = FRAME_STRIDE, cut_threshold: float = CUT_THRESHOLD) -> DataFrame:
+    """Sample every ``stride``-th frame of each clip and emit per-frame
+    mean/std plus ``diff4`` = mean |f_t - f_{t-stride}| against the
+    previous SAMPLED frame (null on the first sample) and an ``is_cut``
+    flag (diff4 > threshold). One output row per sampled frame; the
+    frame bytes themselves never leave the map task."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                w, h, nf = int(r.w), int(r.h), int(r.n_frames)
+                frames = np.frombuffer(r.frames, dtype=np.uint8).reshape(nf, h, w)
+                prev = None
+                for ti in range(0, nf, stride):
+                    f = frames[ti].astype(np.float64)
+                    diff = float(np.abs(f - prev).mean()) if prev is not None else None
+                    rows.append(
+                        (
+                            r.video_id,
+                            ti,
+                            round(float(f.mean()), 3),
+                            round(float(f.std()), 3),
+                            None if diff is None else round(diff, 3),
+                            bool(diff is not None and round(diff, 3) > cut_threshold),
+                        )
+                    )
+                    prev = f
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+    return videos.select("video_id", "frames", "w", "h", "n_frames").mapInPandas(
+        gen, schema=_FRAME_SCHEMA
+    )
+
+
+def frame_sample_oracle_sql(fix: str, stride: int = FRAME_STRIDE, cut_threshold: float = CUT_THRESHOLD) -> str:
+    """frame_truth carries pre-serialization per-frame stats and diff4
+    (gentime reference run, the contour_truth pattern); sampling at the
+    default stride makes diff-vs-previous-sample == stored diff4."""
+    assert stride == 4, "stored diff4 golden is defined for stride 4"
+    return f"""
+SELECT video_id, frame_idx, mean, std, diff4,
+       coalesce(diff4 > {cut_threshold}, false) AS is_cut
+FROM read_parquet('{fix}/frame_truth.parquet')
+WHERE frame_idx % {stride} = 0
+"""

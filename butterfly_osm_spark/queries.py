@@ -704,6 +704,55 @@ def sql_phash_neardup(sf: str = ORACLE_SF) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal audio/video ops + sessionization (operators/media.py, sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def q_crossmodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-modality near-dup: phash band candidates verified by caption
+    shingle Jaccard. The fixture plants image near-dups that ALSO share
+    a one-word-edited caption, so the planted pairs survive both gates."""
+    from .operators.images import crossmodal_neardup
+
+    return crossmodal_neardup(_read(spark, _fix(sf_dir), "images"))
+
+
+def sql_crossmodal_neardup(sf: str = ORACLE_SF) -> str:
+    from .operators.images import crossmodal_neardup_oracle_sql
+
+    return crossmodal_neardup_oracle_sql(_oracle_fix(sf))
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-PCM decode + per-clip features; the DuckDB oracle recomputes
+    every feature from the parallel ``samples`` ARRAY column, so this is
+    a differential check of the byte-level decode."""
+    from .operators.media import audio_features
+
+    return audio_features(_read(spark, _fix(sf_dir), "audio"))
+
+
+def sql_audio_features(sf: str = ORACLE_SF) -> str:
+    from .operators.media import audio_features_oracle_sql
+
+    return audio_features_oracle_sql(_oracle_fix(sf))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling + scene-cut flag over raw-plane video
+    payloads; verified against the pre-serialization frame_truth stats."""
+    from .operators.media import frame_sample
+
+    return frame_sample(_read(spark, _fix(sf_dir), "videos"))
+
+
+def sql_frame_sample(sf: str = ORACLE_SF) -> str:
+    from .operators.media import frame_sample_oracle_sql
+
+    return frame_sample_oracle_sql(_oracle_fix(sf))
+
+
+# ---------------------------------------------------------------------------
 # Raster pipeline (R1-R9) + DEM sampling (S14, R10-R12)
 # ---------------------------------------------------------------------------
 
@@ -996,6 +1045,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "phash_dedup": q_phash_dedup,
     "phash_neardup": q_phash_neardup,
+    "crossmodal_neardup": q_crossmodal_neardup,
+    "audio_features": q_audio_features,
+    "frame_sample": q_frame_sample,
     "raster_contour": q_raster_contour,
     "raster_stamp": q_raster_stamp,
     "dem_sample": q_dem_sample,
@@ -1066,6 +1118,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "image_resize": sql_image_resize,
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
+    "crossmodal_neardup": sql_crossmodal_neardup,
+    "audio_features": sql_audio_features,
+    "frame_sample": sql_frame_sample,
     "raster_contour": sql_raster_contour,
     "raster_stamp": sql_raster_stamp,
     "map_match": sql_map_match,

@@ -45,3 +45,36 @@ def test_phash_neardup_finds_seeded_dups(spark, fix001):
     assert (pairs.hamming <= 3).all()
     assert (pairs.img_a < pairs.img_b).all()
     assert len(pairs[pairs.hamming == 0]) > 100, "seeded exact-phash dups must appear"
+
+
+def test_crossmodal_neardup_requires_both_modalities(spark, fix001):
+    """crossmodal pairs are exactly the phash-near pairs whose captions
+    also agree; the fixture's planted dups (donor caption, one word
+    swapped) survive both gates, while phash-only collisions with
+    unrelated captions are dropped."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from butterfly_osm_spark.operators.images import (
+        crossmodal_neardup,
+        phash_neardup_pairs,
+    )
+
+    images = spark.read.parquet(os.path.join(fix001, "images.parquet"))
+    cm = crossmodal_neardup(images)
+    ph = phash_neardup_pairs(images)
+    cm_keys = {(r.img_a, r.img_b) for r in cm.collect()}
+    ph_keys = {(r.img_a, r.img_b) for r in ph.collect()}
+    assert cm_keys, "planted cross-modal dups should be found"
+    assert cm_keys <= ph_keys
+    # caption gate really applied: recompute the word-3-gram jaccard for
+    # every emitted pair driver-side and check it clears the threshold
+    def shingles(c: str) -> set:
+        ws = c.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} if len(ws) >= 3 else {c}
+
+    caps = {r.image_id: r.caption for r in images.select("image_id", "caption").collect()}
+    for a, b in cm_keys:
+        sa, sb = shingles(caps[a]), shingles(caps[b])
+        assert len(sa & sb) / len(sa | sb) >= 0.4
