@@ -723,6 +723,22 @@ def sql_crossmodal_neardup(sf: str = ORACLE_SF) -> str:
     return crossmodal_neardup_oracle_sql(_oracle_fix(sf))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the pings event table (the canonical
+    stateful training-pipeline op): one-shuffle islands plan — lag marks
+    gap starts, running sum numbers sessions, groupBy aggregates — all
+    three steps reuse the same user_id hash partitioning."""
+    from .operators.sessions import sessionize
+
+    return sessionize(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_sessionize(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import sessionize_oracle_sql
+
+    return sessionize_oracle_sql(_oracle_fix(sf))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-PCM decode + per-clip features; the DuckDB oracle recomputes
     every feature from the parallel ``samples`` ARRAY column, so this is
@@ -1046,6 +1062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup": q_phash_dedup,
     "phash_neardup": q_phash_neardup,
     "crossmodal_neardup": q_crossmodal_neardup,
+    "sessionize": q_sessionize,
     "audio_features": q_audio_features,
     "frame_sample": q_frame_sample,
     "raster_contour": q_raster_contour,
@@ -1119,6 +1136,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
     "crossmodal_neardup": sql_crossmodal_neardup,
+    "sessionize": sql_sessionize,
     "audio_features": sql_audio_features,
     "frame_sample": sql_frame_sample,
     "raster_contour": sql_raster_contour,

@@ -61,3 +61,55 @@ def test_streaming_dedup_drops_redelivery(spark, fix001, tmp_path):
     ids = [r.image_id for r in rows]
     assert len(ids) == len(set(ids)), "re-delivered ids must be dropped"
     assert len(set(ids)) == batch_df.count()
+
+
+def test_stateful_sessionize_matches_batch(spark, fix001, tmp_path):
+    """applyInPandasWithState sessionizer on an availableNow replay emits
+    exactly the batch islands plan's sessions minus each user's trailing
+    (still-open) session, with identical numbering. Re-delivery across
+    TWO micro-batch files must also stitch sessions through state."""
+    from butterfly_osm_spark.operators.sessions import sessionize
+    from butterfly_osm_spark.streaming.sessions import sessionize_stream
+
+    src = spark.read.parquet(f"{fix001}/pings.parquet")
+    d = str(tmp_path / "pings_landing")
+    # split mid-stream at the median ts (arrival order respects event
+    # order, as a watermarked source guarantees); sessions spanning the
+    # split force the state handoff between micro-batches
+    mid = src.approxQuantile("ts_s", [0.5], 0.0)[0]
+    src.filter(f"ts_s < {mid}").coalesce(1).write.mode("overwrite").parquet(d + "/f0")
+    src.filter(f"ts_s >= {mid}").coalesce(1).write.mode("overwrite").parquet(d + "/f1")
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(d)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, session_seq, n_pings, start_s, end_s, duration_s FROM sessions_stream"
+        ).collect()
+    }
+
+    batch = sessionize(src).collect()
+    last_seq = {}
+    for r in batch:
+        last_seq[r.user_id] = max(last_seq.get(r.user_id, 0), r.session_seq)
+    want = {
+        (r.user_id, r.session_seq, r.n_pings, r.start_s, r.end_s, r.duration_s)
+        for r in batch
+        if r.session_seq != last_seq[r.user_id]
+    }
+    assert got == want
+    assert len(want) > 50, "fixture should contain many multi-session users"
