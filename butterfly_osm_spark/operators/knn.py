@@ -171,9 +171,19 @@ def _candidates(
     # semantics) — broadcast the exploded query-cell side so the target
     # table streams through a broadcast join with NO shuffle by cell; the
     # only full shuffle left in a phase is the candidate->query_id rank.
-    # The caller disables the hint when the batch is NOT small (guard in
-    # knn_join) — then Catalyst/AQE plans the join from runtime stats.
-    j = targets_cells.join(F.broadcast(q) if broadcast_queries else q, "cell_id", "inner")
+    # When the caller's gate says the batch is NOT small, the join is
+    # PINNED to shuffle-merge rather than left to size estimates: with
+    # materialize_remaining the phase frames are persisted, and a cached
+    # subtree is compiled from STATIC stats (no AQE re-plan inside the
+    # cache build) — Catalyst's anti-join selectivity estimate then makes
+    # the shell-exploded side look broadcastable and the cache build dies
+    # at scale on Spark's 8 GiB broadcast cap (observed at sf4/res-13:
+    # "Cannot broadcast the table that is larger than 8.0 GiB: 10.0 GiB"
+    # inside CachedRDDBuilder.buildBuffers). The gate has already decided
+    # the batch is unbounded — encode that decision structurally.
+    j = targets_cells.join(
+        F.broadcast(q) if broadcast_queries else q.hint("shuffle_merge"), "cell_id", "inner"
+    )
     return j.select(
         "query_id",
         "k",
