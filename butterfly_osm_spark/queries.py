@@ -464,6 +464,58 @@ def sql_contamination_check(sf: str = ORACLE_SF) -> str:
     return contamination_oracle_sql(f"{_oracle_fix(sf)}/benchmarks.parquet")
 
 
+#: sampling protocol for the registered queries (per-lang training mix +
+#: canonical 80/10/10 split); thresholds are embedded as identical integer
+#: literals in the Spark plan and the DuckDB oracle
+SAMPLE_RATES = {"en": 0.35, "de": 0.8, "fr": 0.6}
+SAMPLE_DEFAULT = 0.5
+SAMPLE_SEED = 7
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling of the documents table —
+    map-only plan, reproducible across cluster sizes (sampling.py)."""
+    from .operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "lang", SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_SEED
+    )
+
+
+def sql_stratified_sample(sf: str = ORACLE_SF) -> str:
+    from .operators.sampling import stratified_sample_oracle_sql
+
+    return stratified_sample_oracle_sql("lang", SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_SEED)
+
+
+def q_dataset_split(spark, sf_dir):
+    """Hash-range train/val/test assignment (80/10/10) — total over the
+    corpus, leak-proof across jobs (sampling.py)."""
+    from .operators.sampling import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir))
+
+
+def sql_dataset_split(sf: str = ORACLE_SF) -> str:
+    from .operators.sampling import dataset_split_oracle_sql
+
+    return dataset_split_oracle_sql()
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing onto per-shard token tapes —
+    one bounded exchange; text never shuffles (sampling.py)."""
+    from .operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
+def sql_pack_sequences(sf: str = ORACLE_SF) -> str:
+    from .operators.sampling import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql()
+
+
 def q_dedup_clusters(spark, sf_dir):
     """A13 completion: near-dup pairs -> connected components -> one
     canonical keeper per cluster (distributed min-label + pointer
@@ -1047,6 +1099,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "contamination_check": q_contamination_check,
+    "stratified_sample": q_stratified_sample,
+    "dataset_split": q_dataset_split,
+    "pack_sequences": q_pack_sequences,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "ann_cosine_ivf": q_ann_cosine_ivf,
@@ -1117,6 +1172,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     ).simhash_oracle_sql(),
     "dedup_clusters": sql_dedup_clusters,
     "contamination_check": sql_contamination_check,
+    "stratified_sample": sql_stratified_sample,
+    "dataset_split": sql_dataset_split,
+    "pack_sequences": sql_pack_sequences,
     "ann_cosine_topk": lambda sf=ORACLE_SF: _sql_text("ann_cosine_topk"),
     "ann_cosine_lsh": sql_ann_cosine_lsh,
     "ann_cosine_ivf": lambda sf=ORACLE_SF: __import__(
