@@ -422,6 +422,36 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition filter (top-bigram coverage +
+    duplicate-trigram fraction); n-grams built JVM-side, one (doc_id, ngram)
+    shuffle per order (operators/text.py)."""
+    from .operators.text import doc_repetition
+
+    return doc_repetition(_docs(spark, sf_dir))
+
+
+def sql_doc_repetition(sf: str = ORACLE_SF) -> str:
+    from .operators.text import doc_repetition_oracle_sql
+
+    return doc_repetition_oracle_sql()
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training iteration-0: global top-N adjacent character
+    pairs weighted by word frequency — all post-wordcount work runs on the
+    word/pair VOCABULARY, sub-linear in corpus size (operators/text.py)."""
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir))
+
+
+def sql_bpe_pair_counts(sf: str = ORACLE_SF) -> str:
+    from .operators.text import bpe_pair_counts_oracle_sql
+
+    return bpe_pair_counts_oracle_sql()
+
+
 def q_dedup_exact(spark, sf_dir):
     from .operators.dedup import exact_dedup
 
@@ -1093,6 +1123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "doc_repetition": q_doc_repetition,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -1158,6 +1190,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "quality_score": lambda sf=ORACLE_SF: _sql_text("quality_score"),
     "lang_id": lambda sf=ORACLE_SF: _sql_text("lang_id"),
     "fingerprint": lambda sf=ORACLE_SF: _sql_text("fingerprint"),
+    "doc_repetition": sql_doc_repetition,
+    "bpe_pair_counts": sql_bpe_pair_counts,
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     # minhash_lsh output = exact-verified candidates; with 8x8 banding the
