@@ -121,7 +121,7 @@ def _candidates(
     ry: int,
     prev_rx: int = -1,
     prev_ry: int = -1,
-    broadcast_queries: bool = True,
+    join_mode: str = "broadcast",
 ) -> DataFrame:
     """Explode queries by the (2rx+1)x(2ry+1) cell rectangle — MINUS the
     previously-covered (2prev_rx+1)x(2prev_ry+1) rectangle (ring-shell
@@ -171,19 +171,25 @@ def _candidates(
     # semantics) — broadcast the exploded query-cell side so the target
     # table streams through a broadcast join with NO shuffle by cell; the
     # only full shuffle left in a phase is the candidate->query_id rank.
-    # When the caller's gate says the batch is NOT small, the join is
-    # PINNED to shuffle-merge rather than left to size estimates: with
-    # materialize_remaining the phase frames are persisted, and a cached
-    # subtree is compiled from STATIC stats (no AQE re-plan inside the
-    # cache build) — Catalyst's anti-join selectivity estimate then makes
-    # the shell-exploded side look broadcastable and the cache build dies
-    # at scale on Spark's 8 GiB broadcast cap (observed at sf4/res-13:
-    # "Cannot broadcast the table that is larger than 8.0 GiB: 10.0 GiB"
-    # inside CachedRDDBuilder.buildBuffers). The gate has already decided
-    # the batch is unbounded — encode that decision structurally.
-    j = targets_cells.join(
-        F.broadcast(q) if broadcast_queries else q.hint("shuffle_merge"), "cell_id", "inner"
-    )
+    # join_mode (decided per phase by knn_join from EXACT open-set counts):
+    #   "broadcast"     — exploded side provably small; hint it.
+    #   "shuffle_merge" — phase frames are persisted and the exploded side
+    #     exceeds the gate: a cached subtree is compiled from STATIC stats
+    #     (no AQE re-plan inside the cache build), and Catalyst's anti-join
+    #     selectivity estimate makes the shell-exploded side look
+    #     broadcastable — the cache build then dies at scale on Spark's
+    #     8 GiB broadcast cap (observed at sf4/res-13: "Cannot broadcast
+    #     the table that is larger than 8.0 GiB: 10.0 GiB" inside
+    #     CachedRDDBuilder.buildBuffers). Pin the decision structurally.
+    #   "auto"          — lazy (non-persisted) path over the gate: no hint,
+    #     AQE plans the join from runtime stats as before.
+    if join_mode == "broadcast":
+        qj = F.broadcast(q)
+    elif join_mode == "shuffle_merge":
+        qj = q.hint("shuffle_merge")
+    else:
+        qj = q
+    j = targets_cells.join(qj, "cell_id", "inner")
     return j.select(
         "query_id",
         "k",
@@ -285,13 +291,18 @@ def knn_join(
         .distinct()
     )
 
-    # data-driven broadcast decision: the hint is only safe while the
-    # WIDEST phase's exploded query-cell side stays driver-assemblable.
-    # One cheap count of the query table decides for the whole loop
-    # (remaining only shrinks), same spirit as adaptive_res.
+    # Data-driven broadcast decision, PER PHASE: the exploded query-cell
+    # side is exactly n_open x shell_cells rows, and both factors are known
+    # before the phase runs (materialize_remaining already pays for an
+    # exact open-set count each phase; phase 1 uses the batch count).
+    # A one-shot gate on the WIDEST phase (round-3's rule) was doubly
+    # wrong: it disabled the broadcast for the tiny early phases — where
+    # most queries resolve — and, combined with the shuffle_merge pin,
+    # cost ~4x on the sf0.1 headline (measured 37.9 s vs 8.8 s); while
+    # per-phase exact counts still reject the genuinely unbounded sf4
+    # res-13 shells that killed the cached-plan broadcast.
     n_queries = queries.count()
-    max_offsets = (2 * rx_max + 1) * (2 * ry_max + 1)
-    bcast = n_queries * max_offsets <= BROADCAST_MAX_ROWS
+    n_open = n_queries
 
     remaining = q_live
     carried: DataFrame | None = None  # top-k-so-far of still-open queries
@@ -302,10 +313,19 @@ def knn_join(
     while True:
         covers_cutoff = R >= rx_max and R >= ry_max
         rx, ry = min(R, rx_max), min(R, ry_max)
+        shell_cells = (2 * rx + 1) * (2 * ry + 1) - (
+            (2 * prev_rx + 1) * (2 * prev_ry + 1) if prev_rx >= 0 else 0
+        )
+        if n_open * shell_cells <= BROADCAST_MAX_ROWS:
+            join_mode = "broadcast"
+        elif materialize_remaining:
+            join_mode = "shuffle_merge"  # persisted subtree: never trust static stats
+        else:
+            join_mode = "auto"  # lazy path: AQE re-plans from runtime stats
         # only the NEW shell of cells is scanned this phase; the inner
         # rectangle's contribution is the carried top-k partial (any point
         # outside a query's inner top-k can never enter the global top-k)
-        cand = _candidates(remaining, tc, res, rx, ry, prev_rx, prev_ry, broadcast_queries=bcast)
+        cand = _candidates(remaining, tc, res, rx, ry, prev_rx, prev_ry, join_mode=join_mode)
         if carried is not None:
             cand = cand.unionByName(carried)
         ranked = _rank_topk(cand, cutoff_m)
@@ -336,7 +356,7 @@ def knn_join(
             # The cost is one bounded persist + count of the (small,
             # query-side-only) open set per widening phase.
             remaining = remaining.persist()
-            remaining.count()
+            n_open = remaining.count()
             phase_frames.append(remaining)
         carried = ranked.join(done_q, "query_id", "left_anti").select(
             "query_id", "k", "node_id", "d2"
