@@ -519,3 +519,68 @@ FROM bands a JOIN bands b
   ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end corpus materialization (round 4): the keep/drop decision a
+# training run actually consumes, composing quality + repetition + dedup
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.3
+
+
+def corpus_filter(
+    documents: DataFrame,
+    quality_min: float = QUALITY_MIN,
+    jaccard_t: float = 0.5,
+) -> DataFrame:
+    """(doc_id, quality, is_repetitive, is_keeper, keep) — the full
+    training-corpus gate: keep a document iff its quality score clears
+    ``quality_min`` AND it is not intra-document repetitive (Gopher gates)
+    AND it is its near-dup cluster's canonical keeper. One row per doc —
+    the drop REASONS stay inspectable, which is what a data-curation
+    pipeline audits.
+
+    Plan shape: three doc_id-keyed subplans (two aggregate-only, one the
+    CC loop whose per-round state is O(|V|+|E|)) joined on doc_id — at
+    100 TB each leg shuffles only (doc_id, small-fixed-width) rows; the
+    raw text is scanned per leg and never shuffled."""
+    from .text import doc_repetition, quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    r = doc_repetition(documents).select("doc_id", "is_repetitive")
+    k = dedup_clusters(documents, jaccard_t).select("doc_id", "is_keeper")
+    return (
+        q.join(r, "doc_id")
+        .join(k, "doc_id")
+        .select(
+            "doc_id",
+            "quality",
+            "is_repetitive",
+            "is_keeper",
+            (
+                (F.col("quality") >= quality_min)
+                & ~F.col("is_repetitive")
+                & F.col("is_keeper")
+            ).alias("keep"),
+        )
+    )
+
+
+def corpus_filter_oracle_sql(
+    quality_min: float = QUALITY_MIN, jaccard_t: float = 0.5
+) -> str:
+    from .text import doc_repetition_oracle_sql, quality_score_oracle_sql
+
+    return f"""
+WITH q AS (
+  SELECT doc_id, quality FROM ({quality_score_oracle_sql()})
+), r AS (
+  SELECT doc_id, is_repetitive FROM ({doc_repetition_oracle_sql()})
+), k AS (
+  SELECT doc_id, is_keeper FROM ({dedup_clusters_oracle_sql(jaccard_t)})
+)
+SELECT q.doc_id, q.quality, r.is_repetitive, k.is_keeper,
+       (q.quality >= {quality_min} AND NOT r.is_repetitive AND k.is_keeper) AS keep
+FROM q JOIN r ON q.doc_id = r.doc_id JOIN k ON q.doc_id = k.doc_id
+"""

@@ -303,3 +303,51 @@ SELECT img_a, img_b, hamming, jaccard FROM (
   JOIN n nb ON nb.image_id = c.img_b
 ) WHERE jaccard >= {jaccard_t}
 """
+
+
+# ---------------------------------------------------------------------------
+# image near-dup cluster resolution (round 4)
+# ---------------------------------------------------------------------------
+
+
+def phash_clusters(images: DataFrame, max_hamming: int = MAX_HAMMING) -> DataFrame:
+    """(image_id, cluster_id, is_keeper): transitive closure over the
+    phash near-dup pairs — the image-side twin of the text pipeline's
+    ``dedup_clusters`` (same distributed min-label + pointer-jumping
+    kernel, ``dedup.connected_components``; no driver-side union-find).
+    cluster_id = lexicographic-min image_id of the component; singletons
+    keep themselves."""
+    from .dedup import connected_components
+
+    pairs = phash_neardup_pairs(images, max_hamming).select("img_a", "img_b")
+    labels, _ = connected_components(pairs, images.select("image_id"))
+    return labels.select(
+        F.col("id").alias("image_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )
+
+
+def phash_clusters_oracle_sql(fix: str, max_hamming: int = MAX_HAMMING) -> str:
+    """Recursive min-label reachability over the brute-force hamming
+    pairs (same differential shape as dedup_clusters' oracle; the
+    ``r.lab < e.b`` prune keeps the recursion linear)."""
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT a.image_id AS ea, b.image_id AS eb
+  FROM read_parquet('{fix}/images.parquet') a
+  JOIN read_parquet('{fix}/images.parquet') b
+    ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+  UNION ALL
+  SELECT b.image_id, a.image_id
+  FROM read_parquet('{fix}/images.parquet') a
+  JOIN read_parquet('{fix}/images.parquet') b
+    ON a.image_id < b.image_id AND bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+), reach(node, lab) AS (
+  SELECT image_id, image_id FROM read_parquet('{fix}/images.parquet')
+  UNION
+  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node WHERE r.lab < e.eb
+)
+SELECT node AS image_id, min(lab) AS cluster_id, (node = min(lab)) AS is_keeper
+FROM reach GROUP BY node
+"""

@@ -561,6 +561,20 @@ def sql_dedup_clusters(sf: str = ORACLE_SF) -> str:
     return dedup_clusters_oracle_sql(JACCARD_T)
 
 
+def q_corpus_filter(spark, sf_dir):
+    """End-to-end training-corpus gate: quality + repetition + dedup-keeper
+    composed into one keep/drop row per document (operators/dedup.py)."""
+    from .operators.dedup import corpus_filter
+
+    return corpus_filter(_docs(spark, sf_dir), jaccard_t=JACCARD_T)
+
+
+def sql_corpus_filter(sf: str = ORACLE_SF) -> str:
+    from .operators.dedup import corpus_filter_oracle_sql
+
+    return corpus_filter_oracle_sql(jaccard_t=JACCARD_T)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from .operators.ann import cosine_topk_bruteforce
 
@@ -783,6 +797,22 @@ def sql_phash_neardup(sf: str = ORACLE_SF) -> str:
     from .operators.images import phash_neardup_oracle_sql
 
     return phash_neardup_oracle_sql(_oracle_fix(sf))
+
+
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side near-dup cluster resolution: phash band-join pairs ->
+    distributed connected components -> canonical keeper per cluster
+    (same CC kernel as the text pipeline's dedup_clusters)."""
+    from .operators.images import phash_clusters
+
+    fix = _fix(sf_dir)
+    return phash_clusters(_read(spark, fix, "images"))
+
+
+def sql_phash_clusters(sf: str = ORACLE_SF) -> str:
+    from .operators.images import phash_clusters_oracle_sql
+
+    return phash_clusters_oracle_sql(_oracle_fix(sf))
 
 
 # ---------------------------------------------------------------------------
@@ -1130,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "corpus_filter": q_corpus_filter,
     "contamination_check": q_contamination_check,
     "stratified_sample": q_stratified_sample,
     "dataset_split": q_dataset_split,
@@ -1148,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "phash_dedup": q_phash_dedup,
     "phash_neardup": q_phash_neardup,
+    "phash_clusters": q_phash_clusters,
     "crossmodal_neardup": q_crossmodal_neardup,
     "sessionize": q_sessionize,
     "audio_features": q_audio_features,
@@ -1205,6 +1237,7 @@ ORACLES: dict[str, Callable[..., str]] = {
         "butterfly_osm_spark.operators.dedup", fromlist=["x"]
     ).simhash_oracle_sql(),
     "dedup_clusters": sql_dedup_clusters,
+    "corpus_filter": sql_corpus_filter,
     "contamination_check": sql_contamination_check,
     "stratified_sample": sql_stratified_sample,
     "dataset_split": sql_dataset_split,
@@ -1227,6 +1260,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "image_resize": sql_image_resize,
     "phash_dedup": sql_phash_dedup,
     "phash_neardup": sql_phash_neardup,
+    "phash_clusters": sql_phash_clusters,
     "crossmodal_neardup": sql_crossmodal_neardup,
     "sessionize": sql_sessionize,
     "audio_features": sql_audio_features,

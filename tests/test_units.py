@@ -278,3 +278,19 @@ def test_registry_contract_consistency():
     assert set(ORACLES) == set(QUERIES), "every registered query must be oracled"
     for name in bench_mod.HEADLINE + bench_mod.SCALING_SUITE:
         assert name in QUERIES, name
+
+
+def test_knn_join_mode_gate_parity(spark, fix001, monkeypatch):
+    """The per-phase join-mode gate (broadcast under 4M exploded rows,
+    shuffle_merge pin over it when phase frames are persisted) is a plan
+    choice, never a semantics choice: forcing the gate shut must produce
+    the identical ranked result set."""
+    from butterfly_osm_spark.operators import knn
+
+    q = spark.read.parquet(fix001 + "/query_points.parquet")
+    n = spark.read.parquet(fix001 + "/osm_nodes.parquet")
+    want = sorted(map(tuple, knn.knn_join(q, n).collect()))
+    monkeypatch.setattr(knn, "BROADCAST_MAX_ROWS", 0)  # every phase pinned
+    got = sorted(map(tuple, knn.knn_join(q, n).collect()))
+    assert got == want
+    spark.catalog.clearCache()
