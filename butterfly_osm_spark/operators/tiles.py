@@ -225,3 +225,78 @@ WITH s AS (
   SELECT sqrt({d2}) AS d FROM s a JOIN s b ON a.query_id < b.query_id)
 SELECT round(quantile_cont(d, 0.95) * 1.1, 3) AS auto_radius_m FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# multi-zoom tile pyramid (round 4)
+# ---------------------------------------------------------------------------
+
+PYRAMID_BASE_RES = 12
+PYRAMID_MIN_RES = 6
+
+
+def tile_pyramid(
+    points: DataFrame,
+    base_res: int = PYRAMID_BASE_RES,
+    min_res: int = PYRAMID_MIN_RES,
+) -> DataFrame:
+    """(res, cell_id, n_points): point counts per tile at EVERY zoom level
+    in [min_res, base_res] — the classic web-map tile-pyramid rollup
+    (complement of the reference's single-level 0.1-degree region tiles,
+    region_tiles.rs:53-64, generalized over the power-of-two hierarchy).
+
+    Scale shape: the corpus is aggregated ONCE, at base_res (the only
+    corpus-sized shuffle, map-side combined); every coarser level is then
+    derived by exploding the zoom range over the base-cell VOCABULARY and
+    re-aggregating parent cells — child->parent is a pure bit shift
+    (exact: the grid is power-of-two aligned), so the rollup input is
+    |base cells| x |levels| rows regardless of corpus size. At 10^12
+    points the base aggregate dominates; the rollup is vocabulary-sized.
+    """
+    if not cells.RES_MIN <= min_res <= base_res <= cells.RES_MAX:
+        raise ValueError(f"need {cells.RES_MIN} <= min_res <= base_res <= {cells.RES_MAX}")
+    base = points.groupBy(
+        cells.cell_col("lon_e7", "lat_e7", base_res).alias("cell_base")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lev = base.select(
+        F.explode(F.sequence(F.lit(min_res), F.lit(base_res))).alias("res"),
+        "cell_base",
+        "n",
+    )
+    # child -> parent at (base_res - res) levels up is a pure right shift
+    # of the unpacked x/y (power-of-two aligned grid; parent_col's shape,
+    # but with a per-row shift distance)
+    parent = (
+        F.col("res").cast("long") * F.lit(1 << cells.RES_SHIFT)
+        + F.expr(f"shiftright(shiftright(cell_base, {cells.Y_SHIFT}) & {cells.Y_MASK}, "
+                 f"{base_res} - res)").cast("long") * F.lit(1 << cells.Y_SHIFT)
+        + F.expr(f"shiftright(cell_base & {cells.X_MASK}, {base_res} - res)").cast("long")
+    )
+    return (
+        lev.select("res", parent.alias("cell_id"), "n")
+        .groupBy("res", "cell_id")
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
+def tile_pyramid_oracle_sql(
+    fix: str,
+    base_res: int = PYRAMID_BASE_RES,
+    min_res: int = PYRAMID_MIN_RES,
+) -> str:
+    base_cell = cells.cell_sql("lon_e7", "lat_e7", base_res)
+    return f"""
+WITH base AS (
+  SELECT {base_cell} AS cell_base, count(*) AS n
+  FROM read_parquet('{fix}/image_geo.parquet') GROUP BY 1
+), lev AS (
+  SELECT CAST(z AS INTEGER) AS res, cell_base, n
+  FROM base, unnest(range({min_res}, {base_res} + 1)) AS t(z)
+)
+SELECT res,
+       (CAST(res AS BIGINT) * {1 << cells.RES_SHIFT}
+        + (((cell_base >> {cells.Y_SHIFT}) & {cells.Y_MASK}) >> ({base_res} - res)) * {1 << cells.Y_SHIFT}
+        + ((cell_base & {cells.X_MASK}) >> ({base_res} - res))) AS cell_id,
+       CAST(sum(n) AS BIGINT) AS n_points
+FROM lev GROUP BY 1, 2
+"""

@@ -202,6 +202,22 @@ def sql_image_tiles(sf: str = ORACLE_SF) -> str:
 # ---------------------------------------------------------------------------
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile-pyramid rollup over the image points: one
+    corpus-sized base aggregate, then a vocabulary-sized parent rollup
+    per zoom level (operators/tiles.py)."""
+    from .operators.tiles import tile_pyramid
+
+    fix = _fix(sf_dir)
+    return tile_pyramid(_read(spark, fix, "image_geo"))
+
+
+def sql_tile_pyramid(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import tile_pyramid_oracle_sql
+
+    return tile_pyramid_oracle_sql(_oracle_fix(sf))
+
+
 def q_pip_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.pip import pip_join
 
@@ -1137,6 +1153,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_index": q_hilbert_index,
     "region_tiles": q_region_tiles,
     "image_tiles": q_image_tiles,
+    "tile_pyramid": q_tile_pyramid,
     "pip_images": q_pip_images,
     "knn_nodes": q_knn_nodes,
     "way_cover": q_way_cover,
@@ -1206,6 +1223,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "hilbert_index": sql_hilbert_index,
     "region_tiles": sql_region_tiles,
     "image_tiles": sql_image_tiles,
+    "tile_pyramid": sql_tile_pyramid,
     "pip_images": sql_pip_images,
     "knn_nodes": sql_knn_nodes,
     "way_cover": sql_way_cover,
