@@ -228,6 +228,19 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
 # ---------------------------------------------------------------------------
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind a ``localCheckpoint``-ed frame.
+    Safe ONLY once nothing will recompute from it (a localCheckpoint
+    cannot be rebuilt); the CC loop calls it on round N's labels after
+    round N+1 is eagerly materialized. Best-effort: if the analyzed plan
+    isn't the expected LogicalRDD (Spark internals moved), leak rather
+    than crash."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — version-dependent internals
+        pass
+
+
 def connected_components(
     edges: DataFrame, nodes: DataFrame, max_iters: int = 50
 ) -> tuple[DataFrame, int]:
@@ -250,7 +263,16 @@ def connected_components(
     data is bounded; checkpointing truncates the lineage so every
     iteration re-plans from a one-level-deep scan. (On a cluster with
     executor churn, swap in a reliable ``checkpoint()`` dir — same
-    protocol, durable blocks.)"""
+    protocol, durable blocks.)
+
+    Cache hygiene (same discipline as knn_join's phase release): each
+    iteration's checkpoint blocks are freed as soon as the NEXT round's
+    checkpoint is eagerly materialized and the convergence count consumed
+    the old table — ``catalog.clearCache()`` does NOT reach RDD-level
+    localCheckpoint blocks, so without this a long-lived session running
+    many dedup jobs accumulates O(iterations) label tables. Only the
+    RETURNED labels frame stays cached (bounded: one O(|V|) table); call
+    ``release_checkpoint(labels)`` when done with it."""
     e = (
         edges.selectExpr(f"{edges.columns[0]} AS src", f"{edges.columns[1]} AS dst")
         .unionByName(edges.selectExpr(f"{edges.columns[1]} AS src", f"{edges.columns[0]} AS dst"))
@@ -283,6 +305,7 @@ def connected_components(
             .where(F.col("new_lab") != F.col("lab"))
             .count()
         )
+        release_checkpoint(labels)  # next round is materialized; prev safe to free
         labels = jumped
         if changed == 0:
             converged = True

@@ -241,18 +241,46 @@ def test_pip_broadcast_gate_fallback_parity(spark, fix001, monkeypatch):
 
 def test_knn_releases_phase_caches(spark, fix001):
     """knn_join must not leak per-phase persisted partials into the session:
-    after the call, at most the (bounded) result frame itself is cached."""
+    after the call, at most the (bounded) result frame itself is newly
+    cached. Measured as a DELTA because earlier tests in the shared
+    session may legitimately hold their own bounded result frames (e.g.
+    a CC query's final label checkpoint), which clearCache() does not
+    reach."""
     from butterfly_osm_spark.operators.knn import knn_join
 
     spark.catalog.clearCache()
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     df = knn_join(
         spark.read.parquet(fix001 + "/query_points.parquet"),
         spark.read.parquet(fix001 + "/osm_nodes.parquet"),
     )
     df.count()
     cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert cached <= 1, f"{cached} RDDs still cached after knn_join"
+    assert cached - before <= 1, f"{cached - before} new RDDs cached after knn_join"
     spark.catalog.clearCache()
+
+
+def test_connected_components_releases_iteration_checkpoints(spark):
+    """The CC loop must free every intermediate round's localCheckpoint —
+    only the returned labels frame may stay cached (clearCache cannot
+    reach RDD-level checkpoint blocks, so leaks here outlive everything)."""
+    from butterfly_osm_spark.operators.dedup import (
+        connected_components,
+        release_checkpoint,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    # a 64-node path graph forces multiple pointer-jumping rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
+    nodes = spark.range(64).withColumnRenamed("id", "node_id")
+    labels, iters = connected_components(edges, nodes)
+    assert iters >= 3  # the path graph actually exercised multiple rounds
+    assert labels.where("lab != 0").count() == 0  # single component, min id 0
+    leaked = sc.getPersistentRDDs().size() - before
+    assert leaked <= 1, f"{leaked} RDDs cached after CC (expected only the result)"
+    release_checkpoint(labels)
+    assert sc.getPersistentRDDs().size() == before
 
 
 def test_knn_res_invariance_fine_res_offsets(spark, fix001):
