@@ -295,6 +295,11 @@ def knn_join(
     # side is exactly n_open x shell_cells rows, and both factors are known
     # before the phase runs (materialize_remaining already pays for an
     # exact open-set count each phase; phase 1 uses the batch count).
+    # On the LAZY path (materialize_remaining=False) n_open keeps the
+    # initial full-batch value — a conservative OVERestimate that can only
+    # suppress a broadcast, never unsafely enable one; the per-phase
+    # broadcast win is deliberately forfeited there rather than paying a
+    # count() on an unmaterialized anti-join chain (ADVICE r4).
     # A one-shot gate on the WIDEST phase (round-3's rule) was doubly
     # wrong: it disabled the broadcast for the tiny early phases — where
     # most queries resolve — and, combined with the shuffle_merge pin,

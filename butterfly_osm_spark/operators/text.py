@@ -21,12 +21,18 @@ def token_stats(documents: DataFrame) -> DataFrame:
 
     Single-space split matches the generator's format; a BPE-ish regex
     tokenizer would slot into the same plan.
+
+    Round-5 plan change: MAP-ONLY — both stats are per-row array
+    expressions (size / array_distinct inside whole-stage codegen), so
+    the former explode + groupBy shuffle of (doc_id, word) pairs is gone
+    entirely. At 100 TB this is zero exchanges instead of a corpus-sized
+    one; values are identical (pytest + oracle unchanged).
     """
     toks = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-    ex = toks.select("doc_id", F.explode("ws").alias("w"))
-    return ex.groupBy("doc_id").agg(
-        F.count("w").alias("n_tokens"),
-        F.countDistinct("w").alias("n_distinct_tokens"),
+    return toks.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct_tokens"),
     )
 
 
@@ -38,16 +44,48 @@ GROUP BY doc_id
 """
 
 
+def _token_base(documents: DataFrame) -> DataFrame:
+    """Shared per-row tokenization kernel: ONE pass over the corpus text
+    producing every per-doc array/count the quality + repetition family
+    needs — all as JVM array expressions inside whole-stage codegen, so
+    any subset of consumers is still a single map-only scan (Catalyst
+    prunes the unused columns). Nothing here shuffles.
+
+    Columns: ws (token array), n_tokens, n_stop (stopword hits),
+    bgs/tgs (word bigram/trigram arrays; EMPTY — not null — for docs
+    shorter than the n-gram order, the round-5 short-doc contract fix).
+    """
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    ws = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    # CASE guards: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
+    # than an empty array (DuckDB's range(1, 1) is empty), so 1-2-token docs
+    # must be fenced explicitly to keep both engines' n-gram sets identical.
+    return ws.select(
+        "doc_id",
+        "ws",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(F.filter("ws", lambda w: F.array_contains(sw, w))).cast("long").alias("n_stop"),
+        F.expr(
+            "CASE WHEN size(ws) >= 2 THEN "
+            "transform(sequence(1, size(ws) - 1), i -> ws[i-1] || ' ' || ws[i]) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("bgs"),
+        F.expr(
+            "CASE WHEN size(ws) >= 3 THEN "
+            "transform(sequence(1, size(ws) - 2), i -> ws[i-1] || ' ' || ws[i] || ' ' || ws[i+1]) "
+            "ELSE CAST(array() AS array<string>) END"
+        ).alias("tgs"),
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """(doc_id, n_tokens, stop_ratio, quality) — length + stopword-ratio
-    quality heuristic; quality in [0,1], higher = better training text."""
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    toks = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-    ex = toks.select("doc_id", F.explode("ws").alias("w"))
-    agg = ex.groupBy("doc_id").agg(
-        F.count("w").alias("n_tokens"),
-        F.sum(F.array_contains(sw, F.col("w")).cast("long")).alias("n_stop"),
-    )
+    quality heuristic; quality in [0,1], higher = better training text.
+
+    Round-5 plan change: MAP-ONLY — ``n_stop`` is a per-row
+    ``size(filter(ws, ...))`` instead of explode + groupBy, removing the
+    corpus-sized (doc_id, word) shuffle. Values identical."""
+    agg = _token_base(documents).select("doc_id", "n_tokens", "n_stop")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
     quality = F.least(F.col("n_tokens"), F.lit(100)).cast("double") / F.lit(100.0) * (
         F.lit(1.0) - stop_ratio
@@ -127,77 +165,94 @@ TOP_BIGRAM_FRAC_T = 0.18
 DUP_TRIGRAM_FRAC_T = 0.30
 
 
+# max-run-over-sorted-array: the per-row replacement for the former
+# explode + two-level groupBy — top bigram count = longest equal run in
+# the sorted bigram array, computed by a single JVM `aggregate` fold
+# (O(n log n) per doc, docs are bounded). Returns 0 for empty arrays.
+_TOP_RUN = (
+    "aggregate(array_sort(bgs),"
+    " struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),"
+    " (acc, x) -> struct(x AS prev,"
+    "   CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1L END AS run,"
+    "   GREATEST(acc.best,"
+    "     CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1L END) AS best),"
+    " acc -> acc.best)"
+)
+
+
+def quality_repetition(
+    documents: DataFrame,
+    top_bigram_frac_t: float = TOP_BIGRAM_FRAC_T,
+    dup_trigram_frac_t: float = DUP_TRIGRAM_FRAC_T,
+) -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, quality, top_bigram_frac,
+    dup_trigram_frac, is_repetitive) — the fused quality + repetition
+    kernel: ONE map-only pass over the corpus text (VERDICT r4 "Next
+    round #6"). Every statistic is a per-row array expression:
+
+    * quality/stop_ratio: ``size(filter(ws, stopword))`` — no explode,
+    * ``top_bigram_frac``: longest equal run in the SORTED bigram array
+      (== the max per-bigram count), capped at 1.0 — Gopher's top-2-gram
+      metric is a coverage fraction, and the uncapped occurrence-weighted
+      proxy exceeded 1.0 on overlapping runs like "a a a" (ADVICE r4),
+    * ``dup_trigram_frac``: ``1 - size(array_distinct(tgs))/size(tgs)``.
+
+    Short-doc contract (ADVICE r4, medium): docs with <3 (or <2) tokens
+    have empty n-gram arrays and their fractions are DEFINED as 0.0
+    (non-repetitive) — every input doc yields exactly one output row;
+    nothing is dropped by an inner join any more (there is no join).
+
+    Scale shape: zero exchanges — the previous plan shuffled every
+    (doc_id, ngram) pair; this one shuffles nothing at all. The DuckDB
+    oracle keeps the independent relational formulation (explode +
+    groupBy + LEFT JOIN), so the fold is differentially verified."""
+    base = _token_base(documents)
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    quality = F.least(F.col("n_tokens"), F.lit(100)).cast("double") / F.lit(100.0) * (
+        F.lit(1.0) - stop_ratio
+    )
+    top_bigram_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0) * F.expr(_TOP_RUN) / F.col("n_tokens").cast("double"),
+        ),
+        6,
+    )
+    dup_trigram_frac = F.when(
+        F.size("tgs") > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("tgs")).cast("double") / F.size("tgs").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_trigram_frac.alias("dup_trigram_frac"),
+    ).withColumn(
+        "is_repetitive",
+        (F.col("top_bigram_frac") > top_bigram_frac_t)
+        | (F.col("dup_trigram_frac") > dup_trigram_frac_t),
+    )
+
+
 def doc_repetition(
     documents: DataFrame,
     top_bigram_frac_t: float = TOP_BIGRAM_FRAC_T,
     dup_trigram_frac_t: float = DUP_TRIGRAM_FRAC_T,
 ) -> DataFrame:
     """(doc_id, n_tokens, top_bigram_frac, dup_trigram_frac, is_repetitive)
-    — intra-document repetition filter (the Gopher/MassiveText family):
-
-    * ``top_bigram_frac``: fraction of tokens covered by the single most
-      frequent word bigram (2 * count(top bigram) / n_tokens),
-    * ``dup_trigram_frac``: fraction of trigram occurrences that are
-      repeats (1 - distinct/total),
-    * ``is_repetitive``: either fraction over its threshold.
-
-    Plan shape: n-grams are built JVM-side with ``transform(sequence(...))``
-    over the token array (no explode of the raw text, no Python), then one
-    explode + two-level aggregate per n-gram order. Both aggregates are
-    keyed on doc_id, so at 100 TB this is one shuffle of (doc_id, ngram)
-    pairs with map-side partial counts; no global stage. Extends A13/P13
-    beyond the reference's corpus-level dedup (docs/api.md:511) to
-    intra-document hygiene.
-    """
-    # CASE guards: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
-    # than an empty array (DuckDB's range(1, 1) is empty), so 1-2-token docs
-    # must be fenced explicitly to keep both engines' n-gram sets identical.
-    ws = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
-    base = ws.select(
-        "doc_id",
-        F.size("ws").cast("long").alias("n_tokens"),
-        F.expr(
-            "CASE WHEN size(ws) >= 2 THEN "
-            "transform(sequence(1, size(ws) - 1), i -> ws[i-1] || ' ' || ws[i]) "
-            "ELSE CAST(array() AS array<string>) END"
-        ).alias("bgs"),
-        F.expr(
-            "CASE WHEN size(ws) >= 3 THEN "
-            "transform(sequence(1, size(ws) - 2), i -> ws[i-1] || ' ' || ws[i] || ' ' || ws[i+1]) "
-            "ELSE CAST(array() AS array<string>) END"
-        ).alias("tgs"),
-    )
-    bg = (
-        base.select("doc_id", "n_tokens", F.explode("bgs").alias("bg"))
-        .groupBy("doc_id", "n_tokens", "bg")
-        .count()
-        .groupBy("doc_id", "n_tokens")
-        .agg(F.max("count").alias("top_bg_cnt"))
-    )
-    tg = (
-        base.select("doc_id", F.explode("tgs").alias("tg"))
-        .groupBy("doc_id")
-        .agg(F.count("tg").alias("n_tg"), F.countDistinct("tg").alias("n_tg_distinct"))
-    )
-    top_bigram_frac = F.round(
-        F.lit(2.0) * F.col("top_bg_cnt") / F.col("n_tokens").cast("double"), 6
-    )
-    dup_trigram_frac = F.round(
-        F.lit(1.0) - F.col("n_tg_distinct").cast("double") / F.col("n_tg").cast("double"), 6
-    )
-    return (
-        bg.join(tg, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            top_bigram_frac.alias("top_bigram_frac"),
-            dup_trigram_frac.alias("dup_trigram_frac"),
-        )
-        .withColumn(
-            "is_repetitive",
-            (F.col("top_bigram_frac") > top_bigram_frac_t)
-            | (F.col("dup_trigram_frac") > dup_trigram_frac_t),
-        )
+    — intra-document repetition filter (the Gopher/MassiveText family);
+    a projection of the fused ``quality_repetition`` kernel (see there
+    for semantics, the short-doc contract and the coverage cap). Extends
+    A13/P13 beyond the reference's corpus-level dedup (docs/api.md:511)
+    to intra-document hygiene."""
+    return quality_repetition(documents, top_bigram_frac_t, dup_trigram_frac_t).select(
+        "doc_id", "n_tokens", "top_bigram_frac", "dup_trigram_frac", "is_repetitive"
     )
 
 
@@ -207,17 +262,24 @@ def doc_repetition_oracle_sql(
 ) -> str:
     # DuckDB lists are 1-based (Spark SQL arrays 0-based); the range bounds
     # below mirror the Spark transform(sequence(...)) windows exactly.
+    # Independent relational recompute: explode + groupBy + LEFT JOIN back
+    # onto the per-doc base (so <3-token docs keep their row with fractions
+    # coalesced to 0.0 — the round-5 short-doc contract), vs Spark's
+    # map-only sorted-run fold. The coverage cap mirrors Spark's
+    # round(least(1.0, 2*cnt/n), 6) exactly.
     return f"""
 WITH t AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM t
 ), b AS (
-  SELECT doc_id, len(ws) AS n_tokens,
+  SELECT doc_id,
          unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
   FROM t
 ), bg_top AS (
-  SELECT doc_id, n_tokens, max(cnt) AS top_bg_cnt
-  FROM (SELECT doc_id, n_tokens, bg, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
-  GROUP BY 1, 2
+  SELECT doc_id, max(cnt) AS top_bg_cnt
+  FROM (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
+  GROUP BY 1
 ), g AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(ws) - 1),
@@ -225,14 +287,19 @@ WITH t AS (
   FROM t
 ), tg_agg AS (
   SELECT doc_id, count(tg) AS n_tg, count(DISTINCT tg) AS n_tg_distinct FROM g GROUP BY 1
+), f AS (
+  SELECT d.doc_id, d.n_tokens,
+         coalesce(round(least(1.0, 2.0 * top_bg_cnt / CAST(n_tokens AS DOUBLE)), 6), 0.0)
+           AS top_bigram_frac,
+         coalesce(round(1.0 - CAST(n_tg_distinct AS DOUBLE) / CAST(n_tg AS DOUBLE), 6), 0.0)
+           AS dup_trigram_frac
+  FROM d LEFT JOIN bg_top ON d.doc_id = bg_top.doc_id
+         LEFT JOIN tg_agg ON d.doc_id = tg_agg.doc_id
 )
-SELECT bg_top.doc_id, n_tokens,
-       round(2.0 * top_bg_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_bigram_frac,
-       round(1.0 - CAST(n_tg_distinct AS DOUBLE) / CAST(n_tg AS DOUBLE), 6) AS dup_trigram_frac,
-       (round(2.0 * top_bg_cnt / CAST(n_tokens AS DOUBLE), 6) > {top_bigram_frac_t}
-        OR round(1.0 - CAST(n_tg_distinct AS DOUBLE) / CAST(n_tg AS DOUBLE), 6) > {dup_trigram_frac_t})
-         AS is_repetitive
-FROM bg_top JOIN tg_agg ON bg_top.doc_id = tg_agg.doc_id
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac,
+       (top_bigram_frac > {top_bigram_frac_t}
+        OR dup_trigram_frac > {dup_trigram_frac_t}) AS is_repetitive
+FROM f
 """
 
 

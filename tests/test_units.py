@@ -322,3 +322,47 @@ def test_knn_join_mode_gate_parity(spark, fix001, monkeypatch):
     got = sorted(map(tuple, knn.knn_join(q, n).collect()))
     assert got == want
     spark.catalog.clearCache()
+
+
+def test_dedup_pipeline_releases_all_caches(spark):
+    """The round-5 leak-class gate (VERDICT r4 "Next round #1"): after a
+    full corpus_filter run — which internally runs minhash shingles,
+    the CC loop, and the fused quality/repetition leg — and the caller
+    releasing the ONE returned frame, the session holds exactly the
+    persistent RDDs it held before: no shingle persist, no simhash
+    sketch, no pair frame, no label checkpoint survives."""
+    from butterfly_osm_spark.operators.dedup import corpus_filter, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    out = corpus_filter(docs)
+    assert out.count() == docs.count()  # one auditable row per doc
+    assert sc.getPersistentRDDs().size() - before <= 1  # only the result
+    out.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "corpus_filter leaked caches"
+
+    pairs = simhash_pairs(docs)
+    pairs.count()
+    assert sc.getPersistentRDDs().size() - before <= 1
+    pairs.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "simhash_pairs leaked caches"
+
+
+def test_release_checkpoint_reaches_derived_frames(spark):
+    """release_checkpoint must free a localCheckpoint reached only through
+    a PROJECTION of the checkpointed frame (ADVICE r4: the analyzed plan
+    is a Project over the LogicalRDD, not the LogicalRDD itself)."""
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+    ck = spark.range(1000).selectExpr("id", "id * 2 AS lab").localCheckpoint(eager=True)
+    proj = ck.selectExpr("id AS doc_id", "lab AS cluster_id")
+    assert proj.count() == 1000
+    assert sc.getPersistentRDDs().size() > before
+    release_checkpoint(proj)  # only the derived frame in hand
+    assert sc.getPersistentRDDs().size() == before
