@@ -170,21 +170,13 @@ def minhash64(shingle_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """(doc_a, doc_b, jaccard) — LSH candidates verified by exact jaccard.
-
-    Scale shape: candidates come from an equi-join on (band_id, band_hash)
-    — no full cross product, no hot-shingle fan-out; bytes/text never
-    shuffle (only doc_id + 64 longs + shingle arrays of the candidates).
-
-    Caching contract: returns a PERSISTED frame (bounded: verified pairs
-    only). The corpus-sized shingle table is persisted for the duration of
-    the computation and RELEASED before returning (eager_release) — the
-    caller owns unpersisting the returned pair frame once consumed.
-    """
-    sh = _with_shingles(documents).persist()
-    mh = sh.select("doc_id", minhash64(F.expr(_HASH_SHINGLES)).alias("mh"))
-    bands = mh.select(
+def _lsh_bands(shingled: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) — the banded MinHash LSH index over a
+    (doc_id, shingles) frame. Deterministic in document CONTENT only, so
+    an index built shard-by-shard equals one built over the whole corpus
+    — the property incremental_dedup rests on."""
+    mh = shingled.select("doc_id", minhash64(F.expr(_HASH_SHINGLES)).alias("mh"))
+    return mh.select(
         "doc_id",
         F.explode(
             F.array(
@@ -200,6 +192,29 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
+
+
+def lsh_band_index(documents: DataFrame) -> DataFrame:
+    """Public band-index builder: the retained artifact an incremental
+    pipeline keeps between shard appends ((doc_id, band_id, band_hash) —
+    8 small columns per doc x band, NOT the corpus text)."""
+    return _lsh_bands(_with_shingles(documents))
+
+
+def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates verified by exact jaccard.
+
+    Scale shape: candidates come from an equi-join on (band_id, band_hash)
+    — no full cross product, no hot-shingle fan-out; bytes/text never
+    shuffle (only doc_id + 64 longs + shingle arrays of the candidates).
+
+    Caching contract: returns a PERSISTED frame (bounded: verified pairs
+    only). The corpus-sized shingle table is persisted for the duration of
+    the computation and RELEASED before returning (eager_release) — the
+    caller owns unpersisting the returned pair frame once consumed.
+    """
+    sh = _with_shingles(documents).persist()
+    bands = _lsh_bands(sh)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -374,6 +389,103 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     return eager_release(out, [pairs_full, labels])
 
 
+def incremental_dedup(
+    band_index: DataFrame,
+    base_labels: DataFrame,
+    base_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.5,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Shard-append dedup (VERDICT r4 "Next round #4"): fold ``new_docs``
+    into an existing clustering WITHOUT recomputing corpus-wide CC —
+    work ∝ change size, the reference's incremental-recustomization
+    semantics (route/src/server/exclude.rs:514) applied to the LSH index
+    instead of cells (the incremental.py G8 pattern).
+
+    Inputs a continuously-ingesting pipeline retains between appends:
+    ``band_index`` = lsh_band_index(base_docs) (8 scalar cols/doc·band),
+    ``base_labels`` = the previous dedup_clusters output
+    (doc_id, cluster_id, is_keeper). ``base_docs`` is touched ONLY via a
+    semi-join on matched candidate ids (point lookups, not a scan — the
+    text of unmatched docs is never read past the index).
+
+    Steps: (1) band new docs, join against base index ∪ new bands ->
+    candidate pairs touching a new doc; (2) exact-Jaccard verify on the
+    shingles of JUST the candidate docs; (3) affected components = old
+    clusters containing any matched doc; their connectivity is preserved
+    by STAR EDGES (member -> cluster_id) so old pairs need not be kept;
+    (4) CC over new pairs + star edges of affected clusters only;
+    (5) passthrough of untouched labels + recomputed affected labels.
+
+    Equal to dedup_clusters(base ∪ new) by construction: banding is
+    content-deterministic (shard-built index == corpus-built index), old
+    pairs cannot change, and the star preserves each old component's
+    node set (pytest-pinned)."""
+    new_bands = lsh_band_index(new_docs)
+    full_index = band_index.unionByName(new_bands)
+    nb = new_bands.alias("nb")
+    fi = full_index.alias("fi")
+    cand = (
+        nb.join(
+            fi,
+            (F.col("nb.band_id") == F.col("fi.band_id"))
+            & (F.col("nb.band_hash") == F.col("fi.band_hash"))
+            & (F.col("nb.doc_id") != F.col("fi.doc_id")),
+        )
+        .select(
+            F.least("nb.doc_id", "fi.doc_id").alias("doc_a"),
+            F.greatest("nb.doc_id", "fi.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact-Jaccard verify over ONLY the candidate docs' shingles
+    all_docs = base_docs.select("doc_id", "text").unionByName(new_docs.select("doc_id", "text"))
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh = _with_shingles(all_docs.join(cand_ids, "doc_id", "left_semi")).persist()
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.round(j, 6) >= threshold)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    pairs.count()
+    sh.unpersist()
+    # affected old components: clusters containing any matched old doc
+    matched = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    affected_clusters = (
+        base_labels.join(matched, "doc_id", "left_semi").select("cluster_id").distinct()
+    )
+    members = base_labels.join(affected_clusters, "cluster_id", "left_semi")
+    star = members.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+    )
+    nodes = members.select("doc_id").unionByName(new_docs.select("doc_id")).distinct()
+    if stats is not None:
+        stats["n_cc_nodes"] = nodes.count()
+        stats["n_new_pairs"] = pairs.count()
+    labels, _ = connected_components(pairs.unionByName(star), nodes)
+    recomputed = labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )
+    untouched = base_labels.join(
+        affected_clusters, "cluster_id", "left_anti"
+    ).select("doc_id", "cluster_id", "is_keeper")
+    return eager_release(untouched.unionByName(recomputed), [pairs, labels])
+
+
 def dedup_clusters_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB differential oracle: exact-Jaccard pairs (the minhash_lsh
     recall gate) -> recursive min-label reachability -> per-node min =
@@ -487,6 +599,131 @@ SELECT doc_id, bench_id, n_overlap,
        round(CAST(n_overlap AS DOUBLE) / n, 6) AS overlap_frac
 FROM hits JOIN bn USING (bench_id)
 WHERE round(CAST(n_overlap AS DOUBLE) / n, 6) >= {min_frac}
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (round 5 — VERDICT r4 "Next round #2"): cross-doc
+# duplicated-SPAN removal, the exact-boilerplate gap that document-level
+# fuzzy dedup (MinHash/SimHash/embedding) misses when docs are otherwise
+# distinct. Reference analog: the dedup-join/fan-back semantics of
+# docs/api.md:511 applied at sub-document granularity.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # window length in words (matches CONTAM_NGRAM granularity)
+#: windows occurring in more positions than this are dropped as "stop
+#: windows" (ubiquitous boilerplate would otherwise fan the self-join
+#: out quadratically within the hot hash — same rationale as LSH
+#: banding); the oracle replicates the gate exactly
+MAX_WINDOW_FREQ = 64
+
+
+def _span_windows(documents: DataFrame, w: int) -> DataFrame:
+    """(doc_id, off, gh): md5-60-bit hashes of every length-``w`` word
+    window WITH its 0-based token offset (the offset is what lets matched
+    windows merge into maximal spans). Same Spark/DuckDB-identical hash
+    construction as _word_ngrams_hashed, but NOT distinct — positions
+    matter here."""
+    gram = F.expr(
+        "transform(sequence(0, size(ws) - %d), i -> concat_ws(' ', %s))"
+        % (w, ", ".join(f"ws[i+{j}]" for j in range(w)))
+    )
+    toks = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    wins = toks.where(F.size("ws") >= w).select(
+        "doc_id", F.posexplode(gram).alias("off", "g")
+    )
+    h = "cast(conv(substring(md5(cast(g as binary)), 1, 15), 16, 10) as bigint)"
+    return wins.select("doc_id", F.col("off").cast("long").alias("off"), F.expr(h).alias("gh"))
+
+
+def substring_dedup(
+    documents: DataFrame, w: int = SPAN_W, max_window_freq: int = MAX_WINDOW_FREQ
+) -> DataFrame:
+    """(doc_id, dup_of, span_start, span_len, src_start) — maximal exact
+    duplicated word spans across document pairs: ``doc_id`` (the higher
+    id — the copy a pipeline would trim) repeats ``span_len`` tokens
+    starting at 0-based ``span_start`` that also appear in ``dup_of``
+    starting at ``src_start``. One row per maximal span per matched
+    diagonal.
+
+    Relational shape (all pieces already proven in this codebase):
+    rolling length-``w`` word windows with offsets (the
+    _word_ngrams_hashed kernel, positions kept) -> hot-window frequency
+    gate -> bucketed self-join on the 60-bit window hash -> adjacent
+    matched offsets merged into maximal spans by the sessionize islands
+    pattern over (doc_a, doc_b, diagonal).
+
+    Scale posture: the corpus text is scanned ONCE and projected to
+    (doc_id, offset, 8-byte hash) — text never shuffles. The self-join is
+    an equi-join on the window hash whose per-key fan-out is bounded by
+    ``max_window_freq`` (sub-quadratic by construction, pytest-gated);
+    the islands window and the span aggregate share one (doc_a, doc_b,
+    diag) partitioning, so the tail is a single exchange of matched-pair
+    scalars, sized by the duplication actually present. 60-bit hash
+    collisions are the usual rolling-hash trade (the reference's CRC
+    posture); the oracle uses the identical hash so the differential
+    check is exact."""
+    wn = _span_windows(documents, w)
+    freq = wn.groupBy("gh").agg(F.count(F.lit(1)).alias("n_pos"))
+    live = wn.join(freq.where(F.col("n_pos") <= max_window_freq), "gh")
+    a = live.select(F.col("doc_id").alias("doc_a"), F.col("off").alias("off_a"), "gh")
+    b = live.select(F.col("doc_id").alias("doc_b"), F.col("off").alias("off_b"), "gh")
+    m = a.join(b, "gh").where(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "off_a", "doc_b", "off_b", (F.col("off_a") - F.col("off_b")).alias("diag")
+    )
+    from pyspark.sql import Window
+
+    isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("off_a")
+    grp = F.col("off_a") - F.row_number().over(isl)
+    return (
+        m.withColumn("grp", grp)
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("off_b").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(w - 1)).alias("span_len"),
+            F.min("off_a").alias("src_start"),
+        )
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("dup_of"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_len").cast("long").alias("span_len"),
+            F.col("src_start").cast("long").alias("src_start"),
+        )
+    )
+
+
+def substring_dedup_oracle_sql(
+    w: int = SPAN_W, max_window_freq: int = MAX_WINDOW_FREQ
+) -> str:
+    """Full relational replication: identical window hash, frequency gate,
+    diagonal islands (gaps-and-islands row_number trick) and span merge."""
+    terms = " || ' ' || ".join(f"ws[i+{j}]" for j in range(w))
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), wn AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS off,
+         CAST(('0x' || substr(md5({terms}), 1, 15)) AS BIGINT) AS gh
+  FROM t, unnest(generate_series(1, len(ws) - {w - 1})) AS s(i)
+  WHERE len(ws) >= {w}
+), freq AS (
+  SELECT gh FROM wn GROUP BY gh HAVING count(*) <= {max_window_freq}
+), live AS (
+  SELECT wn.* FROM wn JOIN freq USING (gh)
+), m AS (
+  SELECT a.doc_id AS doc_a, a.off AS off_a, b.doc_id AS doc_b, b.off AS off_b,
+         a.off - b.off AS diag
+  FROM live a JOIN live b ON a.gh = b.gh AND a.doc_id < b.doc_id
+), g AS (
+  SELECT *, off_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY off_a) AS grp
+  FROM m
+)
+SELECT doc_b AS doc_id, doc_a AS dup_of,
+       CAST(min(off_b) AS BIGINT) AS span_start,
+       CAST(count(*) + {w - 1} AS BIGINT) AS span_len,
+       CAST(min(off_a) AS BIGINT) AS src_start
+FROM g GROUP BY doc_a, doc_b, diag, grp
 """
 
 

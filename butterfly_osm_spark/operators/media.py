@@ -127,14 +127,14 @@ GROUP BY clip_id
 """
 
 
-_FRAME_SCHEMA = StructType(
+_FRAME_INT_SCHEMA = StructType(
     [
         StructField("video_id", StringType()),
         StructField("frame_idx", IntegerType()),
-        StructField("mean", DoubleType()),
-        StructField("std", DoubleType()),
-        StructField("diff4", DoubleType()),
-        StructField("is_cut", BooleanType()),
+        StructField("n_px", LongType()),
+        StructField("px_sum", LongType()),
+        StructField("px_sqsum", LongType()),
+        StructField("diff_sum", LongType()),
     ]
 )
 
@@ -143,45 +143,77 @@ def frame_sample(videos: DataFrame, stride: int = FRAME_STRIDE, cut_threshold: f
     """Sample every ``stride``-th frame of each clip and emit per-frame
     mean/std plus ``diff4`` = mean |f_t - f_{t-stride}| against the
     previous SAMPLED frame (null on the first sample) and an ``is_cut``
-    flag (diff4 > threshold). One output row per sampled frame; the
-    frame bytes themselves never leave the map task."""
+    flag (rounded diff4 > threshold). One output row per sampled frame;
+    the frame bytes themselves never leave the map task.
+
+    Round 5 (VERDICT r4 "Next round #5"): the Python decode emits EXACT
+    INTEGER sums (n_px, px_sum, px_sqsum, diff_sum — the audio_features
+    discipline: no float-rounding boundary inside the UDF), and the
+    float features derive JVM-side with expressions the DuckDB oracle
+    mirrors verbatim — the oracle now RECOMPUTES everything from the
+    relational ``pixels`` column of frame_truth at ANY stride instead of
+    reading stride-4 goldens."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 w, h, nf = int(r.w), int(r.h), int(r.n_frames)
-                frames = np.frombuffer(r.frames, dtype=np.uint8).reshape(nf, h, w)
+                frames = np.frombuffer(r.frames, dtype=np.uint8).reshape(nf, h * w).astype(np.int64)
                 prev = None
                 for ti in range(0, nf, stride):
-                    f = frames[ti].astype(np.float64)
-                    diff = float(np.abs(f - prev).mean()) if prev is not None else None
+                    f = frames[ti]
+                    ds = int(np.abs(f - prev).sum()) if prev is not None else None
                     rows.append(
-                        (
-                            r.video_id,
-                            ti,
-                            round(float(f.mean()), 3),
-                            round(float(f.std()), 3),
-                            None if diff is None else round(diff, 3),
-                            bool(diff is not None and round(diff, 3) > cut_threshold),
-                        )
+                        (r.video_id, ti, w * h, int(f.sum()), int((f * f).sum()), ds)
                     )
                     prev = f
-            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_INT_SCHEMA.fields])
 
-    return videos.select("video_id", "frames", "w", "h", "n_frames").mapInPandas(
-        gen, schema=_FRAME_SCHEMA
+    ints = videos.select("video_id", "frames", "w", "h", "n_frames").mapInPandas(
+        gen, schema=_FRAME_INT_SCHEMA
+    )
+    from pyspark.sql import functions as F
+
+    m = F.col("px_sum") / F.col("n_px")
+    diff = F.round(F.col("diff_sum") / F.col("n_px"), 3)
+    return ints.select(
+        "video_id",
+        "frame_idx",
+        F.round(m, 3).alias("mean"),
+        F.round(F.sqrt(F.col("px_sqsum") / F.col("n_px") - m * m), 3).alias("std"),
+        diff.alias("diff4"),
+        F.coalesce(diff > F.lit(cut_threshold), F.lit(False)).alias("is_cut"),
     )
 
 
 def frame_sample_oracle_sql(fix: str, stride: int = FRAME_STRIDE, cut_threshold: float = CUT_THRESHOLD) -> str:
-    """frame_truth carries pre-serialization per-frame stats and diff4
-    (gentime reference run, the contour_truth pattern); sampling at the
-    default stride makes diff-vs-previous-sample == stored diff4."""
-    assert stride == 4, "stored diff4 golden is defined for stride 4"
+    """Full independent recompute from the relational pixel planes (the
+    ``pixels`` LIST column of frame_truth, written pre-serialization at
+    gentime): per-frame integer sums + a positional self-join for the
+    sampled-frame diff — valid at any ``stride``, no goldens read."""
     return f"""
-SELECT video_id, frame_idx, mean, std, diff4,
-       coalesce(diff4 > {cut_threshold}, false) AS is_cut
-FROM read_parquet('{fix}/frame_truth.parquet')
-WHERE frame_idx % {stride} = 0
+WITH px AS (
+  SELECT video_id, frame_idx,
+         CAST(unnest(pixels) AS BIGINT) AS v,
+         generate_subscripts(pixels, 1) AS i
+  FROM read_parquet('{fix}/frame_truth.parquet')
+  WHERE frame_idx % {stride} = 0
+), stats AS (
+  SELECT video_id, frame_idx, CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(v) AS BIGINT) AS px_sum, CAST(sum(v * v) AS BIGINT) AS px_sqsum
+  FROM px GROUP BY 1, 2
+), diffs AS (
+  SELECT a.video_id, a.frame_idx, CAST(sum(abs(a.v - b.v)) AS BIGINT) AS diff_sum
+  FROM px a JOIN px b
+    ON a.video_id = b.video_id AND b.frame_idx = a.frame_idx - {stride} AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT s.video_id, s.frame_idx,
+       round(CAST(px_sum AS DOUBLE) / n_px, 3) AS mean,
+       round(sqrt(CAST(px_sqsum AS DOUBLE) / n_px
+                  - (CAST(px_sum AS DOUBLE) / n_px) * (CAST(px_sum AS DOUBLE) / n_px)), 3) AS std,
+       round(CAST(diff_sum AS DOUBLE) / n_px, 3) AS diff4,
+       coalesce(round(CAST(diff_sum AS DOUBLE) / n_px, 3) > {cut_threshold}, false) AS is_cut
+FROM stats s LEFT JOIN diffs d ON s.video_id = d.video_id AND s.frame_idx = d.frame_idx
 """

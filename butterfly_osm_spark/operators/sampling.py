@@ -174,6 +174,13 @@ def pack_sequences(
         k.alias("k"),
         F.size(F.split(F.trim("text"), " ")).cast("bigint").alias("n_tokens"),
     )
+    return _pack_tape(sized, budget)
+
+
+def _pack_tape(sized: DataFrame, budget: int) -> DataFrame:
+    """Shared packing tape over (doc_id, shard, k, n_tokens) — used by
+    pack_sequences (whitespace lengths) and text.tokenize_pack (trained
+    BPE lengths)."""
     from pyspark.sql import Window
 
     # explicit ROWS frame (Spark's orderBy default is RANGE; identical

@@ -468,6 +468,44 @@ def sql_bpe_pair_counts(sf: str = ORACLE_SF) -> str:
     return bpe_pair_counts_oracle_sql()
 
 
+def q_bpe_train(spark, sf_dir):
+    """Full BPE tokenizer training loop (round 5): per-merge vocabulary
+    aggregates + driver-held merge list (kmeans-style bounded state);
+    verified against the gentime plain-Python reference run
+    (operators/text.py bpe_train)."""
+    from .operators.text import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
+def sql_bpe_train(sf: str = ORACLE_SF) -> str:
+    from .operators.text import bpe_train_oracle_sql
+
+    return bpe_train_oracle_sql(_oracle_fix(sf))
+
+
+def q_tokenize_pack(spark, sf_dir):
+    """End-to-end tokenizer application: raw text -> trained-BPE token
+    counts (merges from the bpe_merges model table, the ivf_codebook
+    pattern) -> packed pretraining sequences. The oracle recomputes the
+    tape from the INDEPENDENT gentime tokenizer's per-doc counts, so any
+    Spark-side tokenization divergence shifts every offset downstream."""
+    from .operators.text import tokenize_pack
+
+    fix = _fix(sf_dir)
+    merges = [
+        (r["left"], r["right"])
+        for r in _read(spark, fix, "bpe_merges").orderBy("step").collect()
+    ]
+    return tokenize_pack(_docs(spark, sf_dir), merges)
+
+
+def sql_tokenize_pack(sf: str = ORACLE_SF) -> str:
+    from .operators.text import tokenize_pack_oracle_sql
+
+    return tokenize_pack_oracle_sql(_oracle_fix(sf))
+
+
 def q_dedup_exact(spark, sf_dir):
     from .operators.dedup import exact_dedup
 
@@ -575,6 +613,21 @@ def sql_dedup_clusters(sf: str = ORACLE_SF) -> str:
     from .operators.dedup import dedup_clusters_oracle_sql
 
     return dedup_clusters_oracle_sql(JACCARD_T)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-span removal (round 5): rolling window hashes ->
+    hot-window gate -> bucketed self-join -> diagonal islands merged into
+    maximal spans (operators/dedup.py substring_dedup)."""
+    from .operators.dedup import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir))
+
+
+def sql_substring_dedup(sf: str = ORACLE_SF) -> str:
+    from .operators.dedup import substring_dedup_oracle_sql
+
+    return substring_dedup_oracle_sql()
 
 
 def q_corpus_filter(spark, sf_dir):
@@ -1172,11 +1225,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "doc_repetition": q_doc_repetition,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_train": q_bpe_train,
+    "tokenize_pack": q_tokenize_pack,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "substring_dedup": q_substring_dedup,
     "corpus_filter": q_corpus_filter,
     "contamination_check": q_contamination_check,
     "stratified_sample": q_stratified_sample,
@@ -1242,6 +1298,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "fingerprint": lambda sf=ORACLE_SF: _sql_text("fingerprint"),
     "doc_repetition": sql_doc_repetition,
     "bpe_pair_counts": sql_bpe_pair_counts,
+    "bpe_train": sql_bpe_train,
+    "tokenize_pack": sql_tokenize_pack,
     "dedup_exact": lambda sf=ORACLE_SF: _sql_text("dedup_exact"),
     "ngram_jaccard": lambda sf=ORACLE_SF: _sql_text("ngram_jaccard"),
     # minhash_lsh output = exact-verified candidates; with 8x8 banding the
@@ -1255,6 +1313,7 @@ ORACLES: dict[str, Callable[..., str]] = {
         "butterfly_osm_spark.operators.dedup", fromlist=["x"]
     ).simhash_oracle_sql(),
     "dedup_clusters": sql_dedup_clusters,
+    "substring_dedup": sql_substring_dedup,
     "corpus_filter": sql_corpus_filter,
     "contamination_check": sql_contamination_check,
     "stratified_sample": sql_stratified_sample,

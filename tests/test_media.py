@@ -80,3 +80,15 @@ def test_frame_sample_detects_planted_cuts(spark, videos_df, fix001):
     assert spikes, "fixture should plant detectable scene cuts"
     flagged = {r.video_id for r in frame_sample(videos_df).filter("is_cut").collect()}
     assert spikes <= flagged
+
+
+def test_frame_sample_oracle_recomputes_at_any_stride(spark, videos_df, fix001):
+    """Round-5 oracle upgrade gate: the DuckDB side recomputes mean/std/
+    diff from the relational pixel planes, so Spark and oracle must agree
+    at a NON-default stride too (the old golden read was stride-4-only)."""
+    from butterfly_osm_spark.operators.media import frame_sample, frame_sample_oracle_sql
+
+    from .compare import assert_frames_equal
+
+    df = frame_sample(videos_df, stride=3)
+    assert_frames_equal(df, frame_sample_oracle_sql(fix001, stride=3))
