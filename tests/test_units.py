@@ -366,3 +366,18 @@ def test_release_checkpoint_reaches_derived_frames(spark):
     assert sc.getPersistentRDDs().size() > before
     release_checkpoint(proj)  # only the derived frame in hand
     assert sc.getPersistentRDDs().size() == before
+
+
+def test_quality_repetition_single_scan_no_exchange(spark):
+    """Round-5 fusion gate (VERDICT r4 #6): the fused quality+repetition
+    leg of corpus_filter must be MAP-ONLY over ONE documents scan — the
+    former separate legs each scanned the text and shuffled (doc_id,
+    ngram) pairs. Also pins the map-only rewrite of token_stats."""
+    from butterfly_osm_spark.operators.text import quality_repetition, token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (quality_repetition(docs), token_stats(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert plan.count("documents.parquet") == 1
