@@ -26,7 +26,13 @@ def main() -> None:
     names = args[1:] if args and args[0][0].isdigit() else args
 
     qs = E.queries()
-    oracles = E.oracle_sql()
+    # sf-parameterized oracles (round 5): E.oracle_sql() binds the driver's
+    # default ORACLE_SF, so fixture-path oracles used to read sf0.01
+    # fixtures at ANY requested sf; the registry callables take sf directly
+    from butterfly_osm_spark.queries import ORACLES as oracle_fns
+
+    oracles = {n: fn(sf) for n, fn in oracle_fns.items()}
+    assert set(oracles) == set(E.oracle_sql()), "entry/registry oracle drift"
     if not names:
         names = [n for n in qs if n in oracles]
 
