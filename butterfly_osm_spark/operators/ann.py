@@ -486,6 +486,59 @@ def embedding_neardup_lsh(
     )
 
 
+def embedding_clusters(embeddings: DataFrame, tau: float = 0.9) -> DataFrame:
+    """(vec_id, cluster_id, is_keeper): transitive closure over the
+    embedding-cosine near-dup pairs — the embedding-side member of the
+    cluster-resolution triad (text ``dedup_clusters``, image
+    ``phash_clusters``), completing pair output into the keep/drop
+    decision a training-data pipeline consumes. Reference analog: the
+    dedup-join group-and-fan-back semantics (docs/api.md:511) applied to
+    the embedding modality.
+
+    Spark shape: pairs come from the SUB-QUADRATIC banded path
+    (``embedding_neardup_lsh``, full-recall-gated against the exact
+    oracle on the frozen near-dup fixture), then the shared distributed
+    min-label + pointer-jumping CC kernel (``dedup.connected_components``
+    — O(log d) rounds, per-round localCheckpoint lineage cuts, no
+    driver-side union-find). Caching contract: returns ONE persisted
+    O(|vecs|) frame; the CC labels checkpoint is released before
+    returning (``eager_release`` — the knn/dedup discipline). Caller
+    unpersists the result."""
+    from .dedup import connected_components, eager_release
+
+    pairs = embedding_neardup_lsh(embeddings, tau).select("vec_id", "neighbor_id")
+    labels, _ = connected_components(pairs, embeddings.select("vec_id"))
+    out = labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )
+    return eager_release(out, [labels])
+
+
+def embedding_clusters_oracle_sql(tau: float = 0.9, src: str = "embeddings") -> str:
+    """Recursive min-label reachability over the EXACT thresholded cosine
+    pairs (``embedding_neardup_oracle_sql`` — so the oracle doubles as the
+    LSH recall gate, the dedup_clusters pattern); the ``r.lab < e.eb``
+    prune keeps the recursion linear."""
+    pairs = embedding_neardup_oracle_sql(tau, src=src).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+), edges AS (
+  SELECT vec_id AS ea, neighbor_id AS eb FROM pairs
+  UNION ALL
+  SELECT neighbor_id AS ea, vec_id AS eb FROM pairs
+), reach(node, lab) AS (
+  SELECT vec_id, vec_id FROM {src}
+  UNION
+  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node WHERE r.lab < e.eb
+)
+SELECT node AS vec_id, min(lab) AS cluster_id, (node = min(lab)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF variant (coarse quantizer + probe + exact re-rank)
 # ---------------------------------------------------------------------------

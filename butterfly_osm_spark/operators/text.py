@@ -9,7 +9,9 @@ DuckDB oracle; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic stopword list (fixture vocabulary overlaps 'the', 'of', ...).
@@ -535,4 +537,96 @@ SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INTEGER) A
 FROM counts
 QUALIFY rank <= {top_n}
 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM importance scoring (CCNet-style perplexity filter): score every
+# document by its mean log-probability under a unigram LM trained on the
+# corpus itself — the standard "does this look like the reference
+# distribution" quality gate (Wenzek et al., CCNet, LREC 2020 uses a
+# Kneser-Ney 5-gram; the unigram variant is the same relational shape).
+# ---------------------------------------------------------------------------
+
+LM_TOP_K = 1000  # vocabulary cap: top-K words by corpus count, rest -> OOV
+
+
+def unigram_logprob(documents: DataFrame, top_k: int = LM_TOP_K) -> DataFrame:
+    """(doc_id, n_tokens, logprob_micro, avg_logprob) — per-document sum
+    and per-token mean of ln p(w) under a corpus-trained unigram LM with
+    a top-``top_k`` vocabulary (rank by count desc, word asc); words
+    outside the vocabulary score the OOV floor ln(1/total_tokens).
+
+    Scale shape (100 TB): the corpus is touched by exactly TWO tokenize
+    passes — the vocabulary-count aggregate (partial aggs make the
+    exchange vocabulary-sized x partitions; the top-K cap bounds the
+    trained model regardless of the raw tail) and the scoring pass (the
+    per-doc sum shuffles doc_id-keyed SCALARS, text never moves). The
+    vocabulary aggregate is persisted once (vocabulary-sized) and feeds
+    the model rank window, the OOV floor, and the broadcast scoring side;
+    the only driver traffic is the 1-row total-token count (the
+    kmeans_train model-sized-collect discipline). Returns ONE persisted
+    O(|docs|) scalar frame; the vocab cache is released before returning
+    (``eager_release``); caller unpersists the result.
+
+    Cross-engine float discipline: each word's log-prob is quantised ONCE
+    to integer micro-nats (round(ln(p) * 1e6) — the P11 fixed-point
+    pattern), so per-doc sums are exact BIGINT arithmetic, immune to
+    float summation order across partitions/engines; the only doubles
+    are one division at the end, rounded to 6 dp."""
+    from .dedup import eager_release
+
+    toks = documents.select("doc_id", F.split(F.trim("text"), " ").alias("ws"))
+    words = toks.select("doc_id", F.explode("ws").alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = vocab.agg(F.sum("cnt")).collect()[0][0]  # ONE scalar
+    oov_micro = int(round(math.log(1.0 / total) * 1e6))
+    ranked = (
+        vocab.withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w")))
+        )
+        .where(F.col("rk") <= top_k)
+        .select(
+            "w",
+            F.round(F.ln(F.col("cnt").cast("double") / F.lit(float(total))) * 1e6, 0)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    scored = words.join(F.broadcast(ranked), "w", "left").select(
+        "doc_id", F.coalesce("lp_micro", F.lit(oov_micro)).alias("lp")
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp").alias("logprob_micro"),
+        F.round(
+            F.sum("lp").cast("double") / 1e6 / F.count(F.lit(1)).cast("double"), 6
+        ).alias("avg_logprob"),
+    )
+    return eager_release(out, [vocab])
+
+
+def unigram_logprob_oracle_sql(top_k: int = LM_TOP_K) -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, count(*) AS cnt FROM words GROUP BY w
+), tot AS (
+  SELECT sum(cnt) AS total FROM vocab
+), ranked AS (
+  SELECT w,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT) AS lp_micro,
+         CAST(round(ln(1.0 / total) * 1e6) AS BIGINT) AS oov_micro,
+         row_number() OVER (ORDER BY cnt DESC, w ASC) AS rk
+  FROM vocab CROSS JOIN tot
+  QUALIFY rk <= {top_k}
+), scored AS (
+  SELECT words.doc_id,
+         coalesce(r.lp_micro, (SELECT max(oov_micro) FROM ranked)) AS lp
+  FROM words LEFT JOIN ranked r ON words.w = r.w
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS logprob_micro,
+       round(CAST(sum(lp) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
 """

@@ -300,3 +300,109 @@ SELECT res,
        CAST(sum(n) AS BIGINT) AS n_points
 FROM lev GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Grid-based DBSCAN hotspots (beyond-§2 geospatial extension): density
+# clustering over the point table via the cell grid — dense cells are core
+# regions, 8-neighbour adjacency between dense cells is the eps-reachability
+# graph, and connected components resolve the clusters. This is the
+# GriT/grid-DBSCAN formulation (eps = one cell edge, minPts per cell): the
+# scale-correct shape, because after ONE corpus-sized count aggregate every
+# later step runs on the vocabulary-sized dense-cell table. Reference
+# analogs: the per-cell occupancy stats of the snap index (snap_index.rs
+# ring iteration) and the dedup-join group-and-fan-back semantics
+# (docs/api.md:511) applied to spatial density.
+# ---------------------------------------------------------------------------
+
+DBSCAN_RES = 7  # ~0.1 deg cell edge: the hotspot granularity
+DBSCAN_MINPTS = 20  # core-cell density threshold
+
+# positive-direction half of the 8-neighbourhood: each unordered adjacent
+# pair is generated exactly once (CC symmetrizes internally)
+_DBSCAN_HALF_OFFSETS = [(1, -1), (1, 0), (1, 1), (0, 1)]
+
+
+def dbscan_hotspots(
+    nodes: DataFrame, res: int = DBSCAN_RES, minpts: int = DBSCAN_MINPTS
+) -> DataFrame:
+    """(cell_id, cluster_id, n_points) for every DENSE cell (>= ``minpts``
+    points): cluster_id = min cell_id of its 8-connected dense component;
+    an isolated dense cell is its own single-cell cluster. Points in
+    sparse cells are noise; fanning cluster labels back onto points is
+    the standard J4 cell-equi join, so the output here stays
+    vocabulary-sized.
+
+    Scale shape (10^12 points): the point table is touched by exactly ONE
+    aggregate (partial aggs make the exchange vocabulary-sized x
+    partitions); the adjacency is an EQUI-join — each dense cell explodes
+    its 4 positive-direction neighbour ids (pure packed-id arithmetic,
+    cells.neighbor_col) and joins back against the dense-cell set
+    (broadcastable under AQE) — never a range/theta join; the CC kernel
+    (dedup.connected_components) runs on the dense-cell graph: O(log d)
+    rounds of vocabulary-sized shuffles, per-round localCheckpoint
+    lineage cuts. Caching contract: returns ONE persisted
+    vocabulary-sized frame; intermediates are released before returning
+    (``eager_release``); caller unpersists the result.
+
+    Domain-edge caveat: neighbour-id arithmetic wraps at the +/-180 deg
+    antimeridian column (the packed-id x overflow borrows into y); the
+    fixture extract — like any single-region OSM extract — never touches
+    it, and a global run would pre-split the seam column."""
+    from .dedup import connected_components, eager_release
+
+    dense = (
+        nodes.select(cells.cell_col("lon_e7", "lat_e7", res).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .where(F.col("n_points") >= minpts)
+        .persist()
+    )
+    offs = F.array(
+        *[F.lit(dy * (1 << cells.Y_SHIFT) + dx) for dx, dy in _DBSCAN_HALF_OFFSETS]
+    )
+    nbr = dense.select("cell_id", F.explode(offs).alias("d")).select(
+        "cell_id", (F.col("cell_id") + F.col("d")).alias("nbr_id")
+    )
+    edges = nbr.join(
+        dense.select(F.col("cell_id").alias("nbr_id")), "nbr_id"
+    ).select("cell_id", "nbr_id")
+    labels, _ = connected_components(edges, dense.select("cell_id"))
+    out = dense.join(
+        labels.select(F.col("id").alias("cell_id"), F.col("lab").alias("cluster_id")),
+        "cell_id",
+    ).select("cell_id", "cluster_id", "n_points")
+    return eager_release(out, [dense, labels])
+
+
+def dbscan_hotspots_oracle_sql(
+    fix: str, res: int = DBSCAN_RES, minpts: int = DBSCAN_MINPTS
+) -> str:
+    """Differential oracle: adjacency recomputed from UNPACKED grid
+    coordinates (Chebyshev distance <= 1) rather than packed-id
+    arithmetic, then recursive min-label reachability (the
+    dedup_clusters/phash_clusters oracle pattern; the ``r.lab < e.eb``
+    prune keeps the recursion linear)."""
+    c = cells.cell_sql("lon_e7", "lat_e7", res)
+    s = cells.SIZE_E7[res]
+    return f"""
+WITH RECURSIVE dense AS (
+  SELECT {c} AS cell_id,
+         ((CAST(lon_e7 AS BIGINT) + {cells.OFF_LON_E7}) // {s}) AS xi,
+         ((CAST(lat_e7 AS BIGINT) + {cells.OFF_LAT_E7}) // {s}) AS yi,
+         count(*) AS n_points
+  FROM read_parquet('{fix}/osm_nodes.parquet') GROUP BY 1, 2, 3
+  HAVING count(*) >= {minpts}
+), edges AS (
+  SELECT a.cell_id AS ea, b.cell_id AS eb FROM dense a JOIN dense b
+  ON abs(a.xi - b.xi) <= 1 AND abs(a.yi - b.yi) <= 1 AND a.cell_id <> b.cell_id
+), reach(node, lab) AS (
+  SELECT cell_id, cell_id FROM dense
+  UNION
+  SELECT e.eb, r.lab FROM reach r JOIN edges e ON e.ea = r.node WHERE r.lab < e.eb
+), labs AS (
+  SELECT node AS cell_id, min(lab) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.cell_id, l.cluster_id, CAST(d.n_points AS BIGINT) AS n_points
+FROM dense d JOIN labs l ON d.cell_id = l.cell_id
+"""

@@ -1193,6 +1193,55 @@ def sql_elev_profile(sf: str = ORACLE_SF) -> str:
     return elev_profile_oracle_sql(_oracle_fix(sf))
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding-side cluster resolution (round 5): transitive closure over
+    the sub-quadratic LSH near-dup pairs via the shared CC kernel — the
+    third member of the text/image/embedding cluster triad."""
+    from .operators.ann import embedding_clusters
+
+    fix = _fix(sf_dir)
+    return embedding_clusters(_read(spark, fix, "embeddings_nd"), tau=NEARDUP_LSH_TAU)
+
+
+def sql_embedding_clusters(sf: str = ORACLE_SF) -> str:
+    from .operators.ann import embedding_clusters_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return embedding_clusters_oracle_sql(
+        NEARDUP_LSH_TAU, src=f"read_parquet('{fix}/embeddings_nd.parquet')"
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM importance scoring (round 5): per-doc mean
+    log-prob under a corpus-trained top-K unigram LM, fixed-point
+    micro-nat arithmetic for cross-engine exactness."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+def sql_unigram_logprob(sf: str = ORACLE_SF) -> str:
+    from .operators.text import unigram_logprob_oracle_sql
+
+    return unigram_logprob_oracle_sql()
+
+
+def q_dbscan_hotspots(spark, sf_dir):
+    """Grid-based DBSCAN hotspots (round 5): one corpus count aggregate ->
+    dense cells -> 8-neighbour equi-join adjacency -> shared CC kernel."""
+    from .operators.tiles import dbscan_hotspots
+
+    fix = _fix(sf_dir)
+    return dbscan_hotspots(_read(spark, fix, "osm_nodes"))
+
+
+def sql_dbscan_hotspots(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import dbscan_hotspots_oracle_sql
+
+    return dbscan_hotspots_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1243,6 +1292,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_ivf": q_ann_cosine_ivf,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "embedding_clusters": q_embedding_clusters,
+    "unigram_logprob": q_unigram_logprob,
+    "dbscan_hotspots": q_dbscan_hotspots,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
     "way_polyline6": q_way_polyline6,
@@ -1328,6 +1380,9 @@ ORACLES: dict[str, Callable[..., str]] = {
         "butterfly_osm_spark.operators.ann", fromlist=["x"]
     ).embedding_neardup_oracle_sql(NEARDUP_TAU),
     "embedding_neardup_lsh": sql_embedding_neardup_lsh,
+    "embedding_clusters": sql_embedding_clusters,
+    "unigram_logprob": sql_unigram_logprob,
+    "dbscan_hotspots": sql_dbscan_hotspots,
     "wkb_sink": sql_wkb_sink,
     "geojson_sink": sql_geojson_sink,
     "way_polyline6": sql_way_polyline6,

@@ -381,3 +381,43 @@ def test_quality_repetition_single_scan_no_exchange(spark):
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert plan.count("documents.parquet") == 1
+
+
+def test_round5_cluster_ops_invariants_and_release(spark, fix001):
+    """Round-5 additions share the caching contract (ONE persisted result,
+    zero survivors after the caller releases it) and their cluster
+    semantics invariants: cluster_id = component-min member id."""
+    from butterfly_osm_spark.operators.ann import embedding_clusters
+    from butterfly_osm_spark.operators.text import unigram_logprob
+    from butterfly_osm_spark.operators.tiles import dbscan_hotspots
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    hot = dbscan_hotspots(spark.read.parquet(fix001 + "/osm_nodes.parquet"))
+    rows = hot.collect()
+    assert rows and all(r.n_points >= 20 for r in rows)
+    ids = {r.cell_id for r in rows}
+    assert all(r.cluster_id <= r.cell_id and r.cluster_id in ids for r in rows)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    hot.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "dbscan_hotspots leaked caches"
+
+    emb = embedding_clusters(spark.read.parquet(fix001 + "/embeddings_nd.parquet"))
+    erows = emb.collect()
+    eids = {r.vec_id for r in erows}
+    assert erows and all(r.cluster_id <= r.vec_id and r.cluster_id in eids for r in erows)
+    assert all(r.is_keeper == (r.vec_id == r.cluster_id) for r in erows)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    emb.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "embedding_clusters leaked caches"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lm = unigram_logprob(docs)
+    lrows = lm.collect()
+    assert len(lrows) == docs.count()  # one row per doc, no short-doc drop
+    assert all(r.n_tokens > 0 and r.logprob_micro < 0 and r.avg_logprob < 0 for r in lrows)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    lm.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "unigram_logprob leaked caches"
