@@ -630,3 +630,63 @@ SELECT doc_id, count(*) AS n_tokens, CAST(sum(lp) AS BIGINT) AS logprob_micro,
        round(CAST(sum(lp) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE), 6) AS avg_logprob
 FROM scored GROUP BY doc_id
 """
+
+
+# CCNet bucket cutoffs in integer micro-nats per token (CCNet ships fixed
+# per-language perplexity cutoffs with the pipeline; these are this corpus
+# family's equivalents, chosen once from the fixture distribution).
+PPL_HEAD_CUT_MICRO = -3_400_000
+PPL_MID_CUT_MICRO = -3_406_000
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    head_cut_micro: int = PPL_HEAD_CUT_MICRO,
+    mid_cut_micro: int = PPL_MID_CUT_MICRO,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob, bucket): CCNet's head/middle/tail
+    partition of the corpus by LM score (Wenzek et al., LREC 2020 — the
+    standard quality tiering consumed by sampling weights downstream).
+
+    Bucket assignment is PURE BIGINT arithmetic: a doc is ``head`` iff
+    ``logprob_micro >= head_cut_micro * n_tokens`` (equivalent to
+    per-token mean >= cut, with zero floating point anywhere in the
+    decision), else ``middle`` at the mid cut, else ``tail`` — so the
+    boundary can never flip between engines. Scale shape: inherits
+    unigram_logprob's two corpus passes; the bucket projection is
+    map-side over the doc-keyed scalar frame. Returns ONE persisted
+    O(|docs|) frame (the inner LM-score frame is released before
+    returning); caller unpersists the result."""
+    from .dedup import eager_release
+
+    scores = unigram_logprob(documents)
+    out = scores.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.when(
+            F.col("logprob_micro") >= F.lit(head_cut_micro) * F.col("n_tokens"),
+            F.lit("head"),
+        )
+        .when(
+            F.col("logprob_micro") >= F.lit(mid_cut_micro) * F.col("n_tokens"),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return eager_release(out, [scores])
+
+
+def perplexity_buckets_oracle_sql(
+    head_cut_micro: int = PPL_HEAD_CUT_MICRO,
+    mid_cut_micro: int = PPL_MID_CUT_MICRO,
+) -> str:
+    return f"""
+WITH s AS ({unigram_logprob_oracle_sql()})
+SELECT doc_id, n_tokens, avg_logprob,
+       CASE WHEN logprob_micro >= {head_cut_micro} * n_tokens THEN 'head'
+            WHEN logprob_micro >= {mid_cut_micro} * n_tokens THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM s
+"""

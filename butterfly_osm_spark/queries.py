@@ -1227,6 +1227,20 @@ def sql_unigram_logprob(sf: str = ORACLE_SF) -> str:
     return unigram_logprob_oracle_sql()
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiering by LM score (round 5):
+    bucket decision in pure BIGINT arithmetic — no float boundary."""
+    from .operators.text import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
+def sql_perplexity_buckets(sf: str = ORACLE_SF) -> str:
+    from .operators.text import perplexity_buckets_oracle_sql
+
+    return perplexity_buckets_oracle_sql()
+
+
 def q_dbscan_hotspots(spark, sf_dir):
     """Grid-based DBSCAN hotspots (round 5): one corpus count aggregate ->
     dense cells -> 8-neighbour equi-join adjacency -> shared CC kernel."""
@@ -1294,6 +1308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "embedding_clusters": q_embedding_clusters,
     "unigram_logprob": q_unigram_logprob,
+    "perplexity_buckets": q_perplexity_buckets,
     "dbscan_hotspots": q_dbscan_hotspots,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
@@ -1382,6 +1397,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "embedding_neardup_lsh": sql_embedding_neardup_lsh,
     "embedding_clusters": sql_embedding_clusters,
     "unigram_logprob": sql_unigram_logprob,
+    "perplexity_buckets": sql_perplexity_buckets,
     "dbscan_hotspots": sql_dbscan_hotspots,
     "wkb_sink": sql_wkb_sink,
     "geojson_sink": sql_geojson_sink,

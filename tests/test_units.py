@@ -421,3 +421,12 @@ def test_round5_cluster_ops_invariants_and_release(spark, fix001):
     assert sc.getPersistentRDDs().size() - before <= 1
     lm.unpersist()
     assert sc.getPersistentRDDs().size() == before, "unigram_logprob leaked caches"
+
+    from butterfly_osm_spark.operators.text import perplexity_buckets
+
+    pb = perplexity_buckets(docs)
+    prows = pb.collect()
+    assert len(prows) == len(lrows) and {r.bucket for r in prows} == {"head", "middle", "tail"}
+    assert sc.getPersistentRDDs().size() - before <= 1
+    pb.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "perplexity_buckets leaked caches"
