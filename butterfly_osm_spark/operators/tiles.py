@@ -406,3 +406,86 @@ WITH RECURSIVE dense AS (
 SELECT d.cell_id, l.cluster_id, CAST(d.n_points AS BIGINT) AS n_points
 FROM dense d JOIN labs l ON d.cell_id = l.cell_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Binomial-kernel heat surface (beyond-§2 geospatial extension): discrete
+# KDE over the cell grid — the map-tile heatmap layer. Kernel = the 5-tap
+# binomial [1,4,6,4,1] (the integer Gaussian approximation), applied
+# SEPARABLY: two vocabulary-sized 5-tap passes (x then y) instead of one
+# 25-offset 2D explode — the classic separable-convolution factorization,
+# which is the plan you'd want at 10^12 points: the point table is touched
+# by ONE count aggregate, then each blur pass is explode(5) + re-aggregate
+# on the vocabulary-sized cell table. All weights integer (sum 16 per
+# axis, 256 total), so the surface is exact BIGINT arithmetic end-to-end.
+# ---------------------------------------------------------------------------
+
+KDE_RES = 7
+_KDE_W = [1, 4, 6, 4, 1]  # binomial taps, offsets -2..+2
+
+
+def _blur_axis(df: DataFrame, val: str, axis_step: int) -> DataFrame:
+    """One separable 5-tap pass: shift cell ids by k*axis_step for
+    k in -2..2 with binomial weights, re-aggregate. Pure packed-id
+    arithmetic (axis_step = 1 for x, 1<<Y_SHIFT for y)."""
+    taps = F.array(
+        *[
+            F.struct(F.lit(k * axis_step).alias("d"), F.lit(w).alias("w"))
+            for k, w in zip(range(-2, 3), _KDE_W)
+        ]
+    )
+    return (
+        df.select("cell_id", F.col(val).alias("v"), F.explode(taps).alias("t"))
+        .groupBy((F.col("cell_id") + F.col("t.d")).alias("cell_id"))
+        .agg(F.sum(F.col("v") * F.col("t.w")).alias(val))
+    )
+
+
+def heatmap_kde(nodes: DataFrame, res: int = KDE_RES) -> DataFrame:
+    """(cell_id, heat): integer binomial-KDE surface over the point table —
+    heat = sum over the 5x5 neighbourhood of n_points x w(dx) x w(dy),
+    w = [1,4,6,4,1] per axis (sum 256). Cells whose whole 5x5
+    neighbourhood is empty do not appear (heat 0 rows are the infinite
+    empty plane).
+
+    Scale shape: ONE corpus-sized count aggregate, then two separable
+    5-tap blur passes over the vocabulary-sized cell table (explode(5) +
+    re-aggregate each — 2 vocabulary-sized exchanges total vs the 25x
+    fan-out of the direct 2D form). Exact BIGINT arithmetic throughout —
+    no float anywhere, so cross-engine parity is structural. Same
+    antimeridian caveat as dbscan_hotspots (packed-id x overflow borrows
+    into y; a global run pre-splits the seam column)."""
+    base = (
+        nodes.select(cells.cell_col("lon_e7", "lat_e7", res).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("heat"))
+    )
+    bx = _blur_axis(base, "heat", 1)
+    return _blur_axis(bx, "heat", 1 << cells.Y_SHIFT).select("cell_id", "heat")
+
+
+def heatmap_kde_oracle_sql(fix: str, res: int = KDE_RES) -> str:
+    """Differential oracle: DIRECT (non-separable) 2D 25-tap recompute
+    from UNPACKED grid coordinates — independently re-derives both the
+    factorization and the packed-id shift arithmetic."""
+    c = cells.cell_sql("lon_e7", "lat_e7", res)
+    s = cells.SIZE_E7[res]
+    w = ",".join(str(v) for v in _KDE_W)
+    return f"""
+WITH base AS (
+  SELECT ((CAST(lon_e7 AS BIGINT) + {cells.OFF_LON_E7}) // {s}) AS xi,
+         ((CAST(lat_e7 AS BIGINT) + {cells.OFF_LAT_E7}) // {s}) AS yi,
+         count(*) AS n
+  FROM read_parquet('{fix}/osm_nodes.parquet') GROUP BY 1, 2
+), taps AS (
+  SELECT CAST(k - 3 AS BIGINT) AS d, w
+  FROM (SELECT unnest([{w}]) AS w, unnest(range(1, 6)) AS k)
+), blurred AS (
+  SELECT b.xi + tx.d AS xi, b.yi + ty.d AS yi, sum(b.n * tx.w * ty.w) AS heat
+  FROM base b CROSS JOIN taps tx CROSS JOIN taps ty
+  GROUP BY 1, 2
+)
+SELECT (CAST({res << cells.RES_SHIFT} AS BIGINT) + yi * {1 << cells.Y_SHIFT} + xi) AS cell_id,
+       CAST(heat AS BIGINT) AS heat
+FROM blurred
+"""

@@ -1227,6 +1227,22 @@ def sql_unigram_logprob(sf: str = ORACLE_SF) -> str:
     return unigram_logprob_oracle_sql()
 
 
+def q_heatmap_kde(spark, sf_dir):
+    """Integer binomial-KDE heat surface (round 5): one corpus count
+    aggregate + two separable 5-tap blur passes; the oracle recomputes
+    the direct 25-tap 2D form from unpacked coordinates."""
+    from .operators.tiles import heatmap_kde
+
+    fix = _fix(sf_dir)
+    return heatmap_kde(_read(spark, fix, "osm_nodes"))
+
+
+def sql_heatmap_kde(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import heatmap_kde_oracle_sql
+
+    return heatmap_kde_oracle_sql(_oracle_fix(sf))
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail quality tiering by LM score (round 5):
     bucket decision in pure BIGINT arithmetic — no float boundary."""
@@ -1310,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "perplexity_buckets": q_perplexity_buckets,
     "dbscan_hotspots": q_dbscan_hotspots,
+    "heatmap_kde": q_heatmap_kde,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
     "way_polyline6": q_way_polyline6,
@@ -1399,6 +1416,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "unigram_logprob": sql_unigram_logprob,
     "perplexity_buckets": sql_perplexity_buckets,
     "dbscan_hotspots": sql_dbscan_hotspots,
+    "heatmap_kde": sql_heatmap_kde,
     "wkb_sink": sql_wkb_sink,
     "geojson_sink": sql_geojson_sink,
     "way_polyline6": sql_way_polyline6,

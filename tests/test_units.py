@@ -430,3 +430,21 @@ def test_round5_cluster_ops_invariants_and_release(spark, fix001):
     assert sc.getPersistentRDDs().size() - before <= 1
     pb.unpersist()
     assert sc.getPersistentRDDs().size() == before, "perplexity_buckets leaked caches"
+
+
+def test_heatmap_kde_single_scan_separable(spark, fix001):
+    """The separable factorization must touch the point table ONCE (one
+    count aggregate); both blur passes run on the vocabulary-sized cell
+    table, JVM-only. Correctness vs the direct 25-tap 2D form is pinned
+    by the DuckDB oracle sweep; this pins the PLAN."""
+    from butterfly_osm_spark.operators.tiles import heatmap_kde
+
+    df = heatmap_kde(spark.read.parquet(fix001 + "/osm_nodes.parquet"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("osm_nodes.parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows and all(r.heat > 0 for r in rows)
+    # total mass is conserved: sum(heat) = 256 * n_points (kernel sums to 16 per axis)
+    n = spark.read.parquet(fix001 + "/osm_nodes.parquet").count()
+    assert sum(r.heat for r in rows) == 256 * n
