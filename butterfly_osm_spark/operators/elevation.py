@@ -358,3 +358,140 @@ WHERE EXISTS (
   WHERE t.tile_lat = CAST(floor(CAST(q.lat_e7 AS DOUBLE) / 10000000.0) AS INT)
     AND t.tile_lon = CAST(floor(CAST(q.lon_e7 AS DOUBLE) / 10000000.0) AS INT))
 """
+
+
+# ---------------------------------------------------------------------------
+# Zonal statistics (raster->vector aggregate, the classic GIS "zonal stats"):
+# per-polygon elevation aggregates over every DEM sample falling inside the
+# polygon. Composes the existing kernels — tile decode (S14), cell-cover +
+# even-odd raycast PIP (J8), and a doc_id-keyed aggregate — so the raster
+# payload is decoded ONCE (map-only fan-out) and only (sample_id, lon, lat,
+# v) scalars ever shuffle. Reference analog: the coverage/sampling semantics
+# of elevation.rs:446-470 aggregated over the PIP join of docs/api.md.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import IntegerType, LongType
+
+_PTS_SCHEMA = StructType(
+    [
+        StructField("sample_id", LongType()),
+        StructField("lon_e7", LongType()),
+        StructField("lat_e7", LongType()),
+        StructField("v", IntegerType()),
+    ]
+)
+
+
+def dem_points(raster_tiles: DataFrame) -> DataFrame:
+    """Explode every DEM tile into its sample grid: (sample_id, lon_e7,
+    lat_e7, v), one row per sample. Coordinates are registered on the
+    integer e7 lattice with half-up rounding computed in PURE INTEGER
+    arithmetic — ``(col * 1e7 + (side-1)//2) // (side-1)`` — so the
+    DuckDB oracle derives bit-identical coordinates from the relational
+    ``raster_cells`` truth (no float lattice anywhere). Row 0 is the
+    NORTH edge (.hgt convention, elevation.rs:23-135). Map-only: one
+    Arrow-batched pass over the tile table, nothing shuffles."""
+
+    def explode_tiles(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                side = int(r["samples_per_side"])
+                g = np.frombuffer(r["data"], dtype=">i2").astype(np.int32)
+                rows, cols = np.divmod(np.arange(side * side, dtype=np.int64), side)
+                half, den = (side - 1) // 2, side - 1
+                tlat, tlon = int(r["tile_lat"]), int(r["tile_lon"])
+                yield pd.DataFrame(
+                    {
+                        "sample_id": (((tlat + 90) * 360 + (tlon + 180)) * side + rows)
+                        * side
+                        + cols,
+                        "lon_e7": tlon * E7 + (cols * E7 + half) // den,
+                        "lat_e7": (tlat + 1) * E7 - (rows * E7 + half) // den,
+                        "v": g,
+                    }
+                )
+
+    return raster_tiles.mapInPandas(explode_tiles, schema=_PTS_SCHEMA)
+
+
+def zonal_stats(raster_tiles: DataFrame, polygons: DataFrame) -> DataFrame:
+    """(polygon_id, n_samples, min_elev, max_elev, mean_elev): elevation
+    aggregates over the DEM samples inside each polygon (even-odd raycast
+    membership; void samples excluded — standard nodata handling).
+
+    Scale shape: tiles decode map-only (`dem_points`); membership is the
+    proven J8 path (cover-cell equi-join + salted raycast refinement);
+    the final aggregate shuffles polygon-keyed SCALARS. min/max/sum are
+    exact integer arithmetic (i16 samples), the single mean division is
+    rounded to 3 dp. Returns ONE persisted polygon-sized frame; the
+    sample frame is released before returning (caller unpersists the
+    result)."""
+    from .dedup import eager_release
+    from .pip import pip_join
+
+    pts = dem_points(raster_tiles).where(F.col("v") != VOID).persist()
+    # pip's pair contract carries STRING ids (image_id heritage) — cast the
+    # numeric sample id through it and back
+    hits = pip_join(
+        pts.withColumn("sid", F.col("sample_id").cast("string")), polygons, id_col="sid"
+    )
+    out = (
+        hits.join(
+            pts.select(F.col("sample_id").cast("string").alias("point_id"), "v"),
+            "point_id",
+        )
+        .groupBy("polygon_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("v").cast("int").alias("min_elev"),
+            F.max("v").cast("int").alias("max_elev"),
+            F.round(
+                F.sum("v").cast("double") / F.count(F.lit(1)).cast("double"), 3
+            ).alias("mean_elev"),
+        )
+    )
+    return eager_release(out, [pts, hits])  # pip_join returns a persisted frame
+
+
+def zonal_stats_oracle_sql(fix: str) -> str:
+    """Differential oracle: sample coordinates re-derived from the
+    PRE-ENCODE ``raster_cells`` truth with the identical integer-lattice
+    arithmetic (so the Spark binary decode is differentially verified),
+    then the same bbox-prefilter + even-odd raycast as pip_oracle_sql."""
+    return f"""
+WITH pts AS (
+  SELECT (((c.tile_lat + 90) * 360 + (c.tile_lon + 180)) * t.samples_per_side + c."row")
+           * t.samples_per_side + c."col" AS sample_id,
+         CAST(c.tile_lon AS BIGINT) * {E7}
+           + (CAST(c."col" AS BIGINT) * {E7} + (t.samples_per_side - 1) // 2)
+             // (t.samples_per_side - 1) AS lon_e7,
+         CAST(c.tile_lat + 1 AS BIGINT) * {E7}
+           - (CAST(c."row" AS BIGINT) * {E7} + (t.samples_per_side - 1) // 2)
+             // (t.samples_per_side - 1) AS lat_e7,
+         c.v
+  FROM read_parquet('{fix}/raster_cells.parquet') c
+  JOIN read_parquet('{fix}/raster_tiles.parquet') t
+    ON c.tile_lat = t.tile_lat AND c.tile_lon = t.tile_lon
+  WHERE c.v <> {VOID}
+), bbox AS (
+  SELECT polygon_id, min(least(x1, x2)) AS minx, max(greatest(x1, x2)) AS maxx,
+         min(least(y1, y2)) AS miny, max(greatest(y1, y2)) AS maxy
+  FROM read_parquet('{fix}/polygon_edges.parquet') GROUP BY polygon_id
+), cand AS (
+  SELECT p.sample_id, CAST(p.lon_e7 AS DOUBLE) AS px, CAST(p.lat_e7 AS DOUBLE) AS py,
+         p.v, b.polygon_id
+  FROM pts p JOIN bbox b
+    ON p.lon_e7 >= b.minx AND p.lon_e7 <= b.maxx AND p.lat_e7 >= b.miny AND p.lat_e7 <= b.maxy
+), crossings AS (
+  SELECT c.sample_id, c.polygon_id, any_value(c.v) AS v, count(*) AS n
+  FROM cand c JOIN read_parquet('{fix}/polygon_edges.parquet') e ON c.polygon_id = e.polygon_id
+  WHERE (CAST(e.y1 AS DOUBLE) > c.py) <> (CAST(e.y2 AS DOUBLE) > c.py)
+    AND c.px < CAST(e.x2 - e.x1 AS DOUBLE) * (c.py - CAST(e.y1 AS DOUBLE)) / CAST(e.y2 - e.y1 AS DOUBLE) + CAST(e.x1 AS DOUBLE)
+  GROUP BY c.sample_id, c.polygon_id
+)
+SELECT polygon_id, count(*) AS n_samples,
+       CAST(min(v) AS INT) AS min_elev, CAST(max(v) AS INT) AS max_elev,
+       round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 3) AS mean_elev
+FROM crossings WHERE n % 2 = 1
+GROUP BY polygon_id
+"""

