@@ -690,3 +690,79 @@ SELECT doc_id, n_tokens, avg_logprob,
             ELSE 'tail' END AS bucket
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyterm extraction: the classic IR weighting (Sparck Jones 1972),
+# the standard "what is this document about" feature for corpus curation
+# and topic-drift audits.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, rank, term, tf, score_micro): each document's ``top_k``
+    terms by TF-IDF, rank 1 = highest; ties broken by term ascending.
+
+    Cross-engine exactness: idf = ln(N / df) is quantised ONCE to integer
+    micro-nats (the unigram_logprob / P11 fixed-point pattern), so the
+    ranking score tf x idf_micro is exact BIGINT arithmetic — no float in
+    any comparison. Scale shape: TWO corpus tokenize passes fused into
+    one aggregate — tf = count per (doc_id, term) is ONE corpus-sized
+    partial+final aggregate, and df derives from tf's output (distinct
+    docs per term = vocabulary-sized second-stage aggregate, corpus never
+    re-read); the idf model (vocabulary-sized) broadcasts onto tf; the
+    top-k window partitions by doc_id (doc-keyed, never global). The only
+    driver traffic is the 1-row corpus doc count."""
+    n_docs = documents.count()  # ONE scalar
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("term")
+    )
+    tf = (
+        words.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    idf = tf.groupBy("term").agg(
+        F.round(
+            F.ln(F.lit(float(n_docs)) / F.count(F.lit(1)).cast("double")) * 1e6, 0
+        )
+        .cast("long")
+        .alias("idf_micro")
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", "tf", (F.col("tf") * F.col("idf_micro")).alias("score_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tf", "score_micro")
+    )
+    from .dedup import eager_release
+
+    return eager_release(out, [tf])
+
+
+def tfidf_top_terms_oracle_sql(top_k: int = TFIDF_TOP_K) -> str:
+    return f"""
+WITH tf AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+), tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+), idf AS (
+  SELECT term,
+         CAST(round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents)
+                       / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS idf_micro
+  FROM tfc GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, t.tf * i.idf_micro AS score_micro,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.tf * i.idf_micro DESC, t.term ASC) AS rank
+  FROM tfc t JOIN idf i ON t.term = i.term
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, score_micro
+FROM scored WHERE rank <= {top_k}
+"""

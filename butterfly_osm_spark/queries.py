@@ -1273,6 +1273,21 @@ def sql_perplexity_buckets(sf: str = ORACLE_SF) -> str:
     return perplexity_buckets_oracle_sql()
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-k TF-IDF keyterms (round 5): one corpus aggregate,
+    vocabulary-sized idf broadcast, doc-keyed top-k window; ranking score
+    is exact BIGINT (micro-nat idf)."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def sql_tfidf_top_terms(sf: str = ORACLE_SF) -> str:
+    from .operators.text import tfidf_top_terms_oracle_sql
+
+    return tfidf_top_terms_oracle_sql()
+
+
 def q_dbscan_hotspots(spark, sf_dir):
     """Grid-based DBSCAN hotspots (round 5): one corpus count aggregate ->
     dense cells -> 8-neighbour equi-join adjacency -> shared CC kernel."""
@@ -1341,6 +1356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_clusters": q_embedding_clusters,
     "unigram_logprob": q_unigram_logprob,
     "perplexity_buckets": q_perplexity_buckets,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dbscan_hotspots": q_dbscan_hotspots,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
@@ -1432,6 +1448,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "embedding_clusters": sql_embedding_clusters,
     "unigram_logprob": sql_unigram_logprob,
     "perplexity_buckets": sql_perplexity_buckets,
+    "tfidf_top_terms": sql_tfidf_top_terms,
     "dbscan_hotspots": sql_dbscan_hotspots,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,

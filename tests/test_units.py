@@ -471,3 +471,28 @@ def test_zonal_stats_invariants_and_release(spark, fix001):
     assert sc.getPersistentRDDs().size() - before <= 1
     out.unpersist()
     assert sc.getPersistentRDDs().size() == before, "zonal_stats leaked caches"
+
+
+def test_tfidf_top_terms_invariants_and_release(spark):
+    """TF-IDF keyterms: per-doc ranks are 1..k dense, scores non-increasing
+    within a doc, ties broken by term ascending; caching contract holds."""
+    from butterfly_osm_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+    out = tfidf_top_terms(docs)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == docs.count()
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r.score_micro, r.term) for r in rs]
+        assert keys == sorted(keys)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    out.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "tfidf_top_terms leaked caches"
