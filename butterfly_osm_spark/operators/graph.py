@@ -1,0 +1,112 @@
+"""Graph traversal over the extracted edge graph: multi-source BFS hops.
+
+The reference's core product is graph search over the extracted road
+network (route/src/nbg edge-based graph; its CCH/PHAST kernels answer
+distance queries — docs/architecture.md matrix/isochrone sections).
+Full CCH is out of graft scope (SURVEY §2.3), but the distributed
+building block every fleet/logistics pipeline needs — "hop distance to
+the nearest depot" over the road graph — is expressible Spark-first as
+iterative frontier expansion, the same loop discipline as
+``connected_components`` (dedup.py): each round is one O(frontier x
+avg-degree) equi-join shuffle plus an anti-join against the settled
+set; the only driver traffic is the scalar frontier count that decides
+termination. Label tables are ``localCheckpoint``-ed per round (the
+union-grow plan would otherwise deepen linearly) and every superseded
+checkpoint's blocks are freed immediately (clearCache cannot reach
+RDD-level blocks — the r4 lesson).
+
+Seeds are chosen deterministically (node_id % seed_mod == 0 — a
+scattered ~1 % "depot set"), so the operator is differential-testable:
+the DuckDB oracle replays the same expansion as a hop-bounded recursive
+CTE over the identical edge derivation.
+
+At 100 TB the per-round join shuffles on node id — the same key the
+edge table would be bucketed by (extract.py scale notes), so rounds
+are co-located scans; diameter-bounded termination (max_hops) keeps the
+round count fixed regardless of graph size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import release_checkpoint
+
+SEED_MOD = 97
+MAX_HOPS = 10
+
+
+def bfs_hops(edges: DataFrame, seed_mod: int = SEED_MOD, max_hops: int = MAX_HOPS) -> DataFrame:
+    """(node_id, hops): minimum number of edge hops from each reachable
+    graph vertex to its nearest seed vertex (node_id % seed_mod == 0),
+    treating extracted edges as undirected, capped at ``max_hops``.
+    Vertices farther than ``max_hops`` from every seed are absent.
+
+    Returns one persisted O(|V|) frame; caller releases it (the
+    eager_release contract, dedup.py).
+    """
+    adj = (
+        edges.select(F.col("u_node").alias("s"), F.col("v_node").alias("d"))
+        .unionByName(edges.select(F.col("v_node").alias("s"), F.col("u_node").alias("d")))
+        .distinct()
+        .persist()
+    )
+    verts = adj.select(F.col("s").alias("node_id")).distinct()
+    dist = (
+        verts.filter(F.col("node_id") % seed_mod == 0)
+        .select("node_id", F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        grown = (
+            frontier.join(adj, frontier.node_id == adj.s)
+            .select(F.col("d").alias("node_id"))
+            .distinct()
+            .join(dist, "node_id", "left_anti")
+            .select("node_id", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        n_new = grown.count()
+        if n_new == 0:
+            release_checkpoint(grown)
+            break
+        nxt = dist.unionByName(grown).localCheckpoint(eager=True)
+        # nxt is materialized; the superseded round's blocks (and grown's,
+        # now folded into nxt) are dead — free them immediately. The live
+        # frontier below is a FILTER over nxt (shares its checkpoint), so
+        # only dist ever owns blocks across iterations.
+        release_checkpoint(dist)
+        release_checkpoint(grown)
+        dist = nxt
+        frontier = dist.filter(F.col("hops") == h)
+    adj.unpersist()
+    out = dist.persist()
+    out.count()
+    release_checkpoint(dist)
+    return out
+
+
+def bfs_hops_oracle_sql(
+    edges_sql: str, seed_mod: int = SEED_MOD, max_hops: int = MAX_HOPS
+) -> str:
+    """Hop-bounded recursive-CTE replay over the same edge derivation
+    (``edges_sql`` = full SELECT producing (u_node, v_node, ...))."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+adj AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT u_node AS s, v_node AS d FROM e
+    UNION ALL
+    SELECT v_node AS s, u_node AS d FROM e
+  )
+),
+walk(node_id, hops) AS (
+  SELECT DISTINCT s AS node_id, 0 AS hops FROM adj WHERE s % {seed_mod} = 0
+  UNION
+  SELECT a.d, w.hops + 1 FROM walk w JOIN adj a ON a.s = w.node_id
+  WHERE w.hops < {max_hops}
+)
+SELECT node_id, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node_id
+"""

@@ -72,3 +72,122 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
 FROM numbered
 GROUP BY user_id, session_seq
 """
+
+
+# ---------------------------------------------------------------------------
+# stay-point detection (mobility analytics over the pings table)
+# ---------------------------------------------------------------------------
+
+STAY_CELL_E7 = 500000  # ~5.5 km of latitude per grid cell (neighborhood scale)
+STAY_MIN_S = 900  # minimum dwell to count as a stay
+STAY_MIN_PINGS = 3
+
+
+def stay_points(
+    pings: DataFrame,
+    cell_e7: int = STAY_CELL_E7,
+    min_s: int = STAY_MIN_S,
+    min_pings: int = STAY_MIN_PINGS,
+) -> DataFrame:
+    """Per-user stay-point detection: maximal runs of consecutive pings
+    inside one coarse grid cell, kept when the dwell lasts >= ``min_s``
+    seconds over >= ``min_pings`` pings. The classic mobility-mining
+    primitive (Zheng et al. GeoLife) and the reference's trace
+    preprocessing analog: its map-matcher collapses stationary GPS
+    clusters before HMM matching (route/src/server/mapmatch.rs gap and
+    dwell handling) — here expressed as the same one-exchange islands
+    plan as :func:`sessionize` (the run marker is "cell changed" instead
+    of "gap exceeded"), so windows + groupBy + the final re-rank all
+    reuse a single hash exchange on user_id. Nothing driver-side; skew
+    bounded by physical per-user ping rates.
+
+    Output: (user_id, stay_seq, n_pings, start_s, end_s, dwell_s,
+    lat_c, lon_c) — stay_seq 1-based in time order over KEPT stays;
+    centroids are exact-integer sums divided as doubles (deterministic
+    across engines and partitionings).
+    """
+    cx = F.floor(F.col("lon_e7") / F.lit(float(cell_e7)))
+    cy = F.floor(F.col("lat_e7") / F.lit(float(cell_e7)))
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    marked = pings.select(
+        "user_id",
+        "ts_s",
+        "lat_e7",
+        "lon_e7",
+        cx.alias("cx"),
+        cy.alias("cy"),
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.lag("cx").over(w).isNull()
+            | (F.lag("cx").over(w) != F.col("cx"))
+            | (F.lag("cy").over(w) != F.col("cy")),
+            1,
+        ).otherwise(0),
+    ).withColumn("run_id", F.sum("new_s").over(w))
+    runs = (
+        marked.groupBy("user_id", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+            F.sum(F.col("lat_e7").cast("long")).alias("sum_lat"),
+            F.sum(F.col("lon_e7").cast("long")).alias("sum_lon"),
+        )
+        .filter(
+            (F.col("end_s") - F.col("start_s") >= min_s) & (F.col("n_pings") >= min_pings)
+        )
+    )
+    w_keep = Window.partitionBy("user_id").orderBy("start_s")
+    return runs.select(
+        "user_id",
+        F.row_number().over(w_keep).cast("long").alias("stay_seq"),
+        "n_pings",
+        "start_s",
+        "end_s",
+        (F.col("end_s") - F.col("start_s")).alias("dwell_s"),
+        (F.col("sum_lat").cast("double") / F.col("n_pings")).alias("lat_c"),
+        (F.col("sum_lon").cast("double") / F.col("n_pings")).alias("lon_c"),
+    )
+
+
+def stay_points_oracle_sql(
+    fix: str,
+    cell_e7: int = STAY_CELL_E7,
+    min_s: int = STAY_MIN_S,
+    min_pings: int = STAY_MIN_PINGS,
+) -> str:
+    """Identical islands construction in DuckDB over the pings parquet."""
+    return f"""
+WITH cells AS (
+  SELECT user_id, ts_s, lat_e7, lon_e7,
+         floor(lon_e7 / {float(cell_e7)}) AS cx,
+         floor(lat_e7 / {float(cell_e7)}) AS cy
+  FROM read_parquet('{fix}/pings.parquet')
+), marked AS (
+  SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+                   OR lag(cx) OVER w <> cx OR lag(cy) OVER w <> cy
+                 THEN 1 ELSE 0 END AS new_s
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), runs AS (
+  SELECT user_id, run_id, count(*) AS n_pings,
+         min(ts_s) AS start_s, max(ts_s) AS end_s,
+         sum(CAST(lat_e7 AS BIGINT)) AS sum_lat,
+         sum(CAST(lon_e7 AS BIGINT)) AS sum_lon
+  FROM numbered GROUP BY user_id, run_id
+  HAVING max(ts_s) - min(ts_s) >= {min_s} AND count(*) >= {min_pings}
+)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_s) AS BIGINT)
+         AS stay_seq,
+       CAST(n_pings AS BIGINT) AS n_pings,
+       start_s, end_s, end_s - start_s AS dwell_s,
+       CAST(sum_lat AS DOUBLE) / n_pings AS lat_c,
+       CAST(sum_lon AS DOUBLE) / n_pings AS lon_c
+FROM runs
+"""

@@ -1303,6 +1303,60 @@ def sql_dbscan_hotspots(sf: str = ORACLE_SF) -> str:
     return dbscan_hotspots_oracle_sql(_oracle_fix(sf))
 
 
+def q_asof_purchases(spark, sf_dir):
+    """As-of (temporal) join (round 5): every non-purchase event joined
+    to the user's latest prior purchase via the union-tag single-shuffle
+    window plan — one exchange, zero joins."""
+    from .operators.asof import asof_purchases
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return asof_purchases(events)
+
+
+def sql_asof_purchases(sf: str = ORACLE_SF) -> str:
+    from .operators.asof import asof_purchases_oracle_sql
+
+    return asof_purchases_oracle_sql()
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (round 5): per-user maximal same-cell ping
+    runs kept on dwell >= 900 s — the sessionize islands plan with a
+    spatial run marker; one hash exchange on user_id end-to-end."""
+    from .operators.sessions import stay_points
+
+    return stay_points(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_stay_points(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import stay_points_oracle_sql
+
+    return stay_points_oracle_sql(_oracle_fix(sf))
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance to the nearest seed vertex over the
+    extracted road graph (round 5): level-synchronous frontier expansion,
+    one node-id-keyed join shuffle per round, per-round localCheckpoint
+    with immediate block release (the CC-loop discipline)."""
+    from .operators.graph import bfs_hops
+
+    fix = _fix(sf_dir)
+    return bfs_hops(
+        build_edges(
+            _read(spark, fix, "osm_ways"),
+            _read(spark, fix, "way_nodes"),
+            _read(spark, fix, "osm_nodes"),
+        )
+    )
+
+
+def sql_bfs_hops(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import bfs_hops_oracle_sql
+
+    return bfs_hops_oracle_sql(edges_oracle_sql(_oracle_fix(sf)))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1358,6 +1412,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dbscan_hotspots": q_dbscan_hotspots,
+    "asof_purchases": q_asof_purchases,
+    "stay_points": q_stay_points,
+    "bfs_hops": q_bfs_hops,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1450,6 +1507,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "perplexity_buckets": sql_perplexity_buckets,
     "tfidf_top_terms": sql_tfidf_top_terms,
     "dbscan_hotspots": sql_dbscan_hotspots,
+    "asof_purchases": sql_asof_purchases,
+    "stay_points": sql_stay_points,
+    "bfs_hops": sql_bfs_hops,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

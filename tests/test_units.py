@@ -496,3 +496,53 @@ def test_tfidf_top_terms_invariants_and_release(spark):
     assert sc.getPersistentRDDs().size() - before <= 1
     out.unpersist()
     assert sc.getPersistentRDDs().size() == before, "tfidf_top_terms leaked caches"
+
+
+def test_asof_and_stay_points_single_exchange(spark):
+    """Round-5c plan pins: the union-tag asof join must plan exactly ONE
+    hash exchange (no join operator anywhere — that's the point of the
+    plan), and stay_points must reuse a single user_id exchange across
+    its windows + aggregation, like sessionize."""
+    from butterfly_osm_spark.operators.asof import asof_purchases
+    from butterfly_osm_spark.operators.sessions import stay_points
+    from butterfly_osm_spark.fixtures.generate import ensure_fixtures
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = asof_purchases(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    fix = ensure_fixtures("0.001")
+    pings = spark.read.parquet(fix + "/pings.parquet")
+    splan = stay_points(pings)._jdf.queryExecution().executedPlan().toString()
+    assert splan.count("Exchange hashpartitioning") == 1, splan
+
+
+def test_bfs_hops_invariants_and_release(spark, fix001):
+    """bfs_hops follows the CC-loop caching contract (one persisted
+    result, zero survivors after release) and its level-synchronous
+    invariants: seeds at hop 0, everything else in (0, max_hops]."""
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.extract import build_edges
+    from butterfly_osm_spark.operators.graph import SEED_MOD, bfs_hops
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    edges = build_edges(
+        spark.read.parquet(fix001 + "/osm_ways.parquet"),
+        spark.read.parquet(fix001 + "/way_nodes.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    )
+    dist = bfs_hops(edges)
+    rows = dist.collect()
+    assert rows
+    assert all((r.node_id % SEED_MOD == 0) == (r.hops == 0) for r in rows)
+    assert all(0 <= r.hops <= 10 for r in rows)
+    assert len({r.node_id for r in rows}) == len(rows)  # one row per node
+    assert sc.getPersistentRDDs().size() - before <= 1  # only the result
+    dist.unpersist()
+    release_checkpoint(dist)
+    assert sc.getPersistentRDDs().size() == before, "bfs_hops leaked caches"
