@@ -427,3 +427,103 @@ SELECT way_id,
        round(lat_e7 + (nlat - lat_e7) * (CASE WHEN seg_m > 0 THEN (total * {frac} - cum_before) / seg_m ELSE 0.0 END), 2) AS mid_lat
 FROM hit WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# polygon metrics: signed shoelace area, perimeter, centroid (vector GIS)
+# ---------------------------------------------------------------------------
+
+
+def polygon_metrics(polygon_edges: DataFrame) -> DataFrame:
+    """(polygon_id, n_edges, area2_e14, perimeter_mm, lon_c_e7, lat_c_e7):
+    per-polygon planar metrics from the exploded edge table — the vector
+    side of the reference's avoid-polygon machinery (its recustomizer
+    rasterises polygons against the graph, route/src/customizer avoid
+    handling; tile cover J10 reuses the same rings here).
+
+    All aggregation is EXACT integer arithmetic so the result is
+    identical under any partitioning / summation order:
+    - ``area2_e14``: the signed shoelace sum of per-edge cross products
+      (x1*y2 - x2*y1, each |term| <= 6.5e18 -> fits BIGINT; the SUM is
+      carried as decimal(38,0) / int128, overflow-proof at any polygon
+      size) exported as DOUBLE (one exact-int -> nearest-double
+      conversion, engine-identical). Positive = CCW ring. Units: e7^2
+      planar, i.e. 1e14 per squared degree.
+    - ``perimeter_mm``: per-edge haversine rounded to integer mm, then
+      summed exactly (the extract length_mm discipline, nbg/mod.rs
+      rounding model).
+    - centroid: the standard polygon centroid (cross-weighted vertex
+      means) as two more exact decimal sums, divided as doubles only in
+      the final projection.
+
+    One hash exchange on polygon_id; map-side partial aggregation does
+    the heavy lifting (the shuffle carries 5 scalars per polygon).
+    """
+    x1 = F.col("x1").cast("long")
+    y1 = F.col("y1").cast("long")
+    x2 = F.col("x2").cast("long")
+    y2 = F.col("y2").cast("long")
+    cross = (x1 * y2 - x2 * y1).alias("cross")  # |.| <= 6.5e18, exact in i64
+    per_edge = polygon_edges.select(
+        "polygon_id",
+        cross,
+        F.round(haversine_m_col("x1", "y1", "x2", "y2") * 1000)
+        .cast("long")
+        .alias("edge_mm"),
+        (x1 + x2).alias("sx"),
+        (y1 + y2).alias("sy"),
+    )
+    c38 = F.col("cross").cast("decimal(20,0)")
+    agg = per_edge.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("cross").cast("decimal(38,0)")).alias("a2"),
+        F.sum("edge_mm").alias("perimeter_mm"),
+        F.sum(c38 * F.col("sx").cast("decimal(17,0)")).alias("cx"),
+        F.sum(c38 * F.col("sy").cast("decimal(17,0)")).alias("cy"),
+    )
+    a2d = F.col("a2").cast("double")
+    return agg.select(
+        "polygon_id",
+        F.col("n_edges").cast("int").alias("n_edges"),
+        a2d.alias("area2_e14"),
+        "perimeter_mm",
+        (F.col("cx").cast("double") / (F.lit(3.0) * a2d)).alias("lon_c_e7"),
+        (F.col("cy").cast("double") / (F.lit(3.0) * a2d)).alias("lat_c_e7"),
+    )
+
+
+def polygon_metrics_oracle_sql(fix: str) -> str:
+    """Identical exact-integer aggregation in DuckDB (int128 sums).
+
+    The int -> double conversions route through VARCHAR because DuckDB's
+    direct HUGEINT -> DOUBLE cast truncates instead of rounding to
+    nearest (1-ulp error on ~1 % of centroid sums, verified against
+    CPython's correctly-rounded int -> float); string parsing is
+    correctly rounded in both engines and matches Spark's decimal cast.
+    """
+    hav = haversine_m_sql("x1", "y1", "x2", "y2")
+    return f"""
+WITH per_edge AS (
+  SELECT polygon_id,
+         CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1 AS cross_t,
+         CAST(round({hav} * 1000) AS BIGINT) AS edge_mm,
+         CAST(x1 AS BIGINT) + x2 AS sx,
+         CAST(y1 AS BIGINT) + y2 AS sy
+  FROM read_parquet('{fix}/polygon_edges.parquet')
+), agg AS (
+  SELECT polygon_id, count(*) AS n_edges,
+         sum(CAST(cross_t AS HUGEINT)) AS a2,
+         sum(edge_mm) AS perimeter_mm,
+         sum(CAST(cross_t AS HUGEINT) * sx) AS cx,
+         sum(CAST(cross_t AS HUGEINT) * sy) AS cy
+  FROM per_edge GROUP BY polygon_id
+)
+SELECT polygon_id, CAST(n_edges AS INT) AS n_edges,
+       CAST(CAST(a2 AS VARCHAR) AS DOUBLE) AS area2_e14,
+       CAST(perimeter_mm AS BIGINT) AS perimeter_mm,
+       CAST(CAST(cx AS VARCHAR) AS DOUBLE)
+         / (3.0 * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)) AS lon_c_e7,
+       CAST(CAST(cy AS VARCHAR) AS DOUBLE)
+         / (3.0 * CAST(CAST(a2 AS VARCHAR) AS DOUBLE)) AS lat_c_e7
+FROM agg
+"""

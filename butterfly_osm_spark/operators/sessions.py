@@ -191,3 +191,67 @@ SELECT user_id,
        CAST(sum_lon AS DOUBLE) / n_pings AS lon_c
 FROM runs
 """
+
+
+# ---------------------------------------------------------------------------
+# interval containment join (bin-and-filter range join)
+# ---------------------------------------------------------------------------
+
+CHUNK_S = 3600  # time-bin width for the equi-join prefilter
+
+
+def interval_join(pings: DataFrame, chunk_s: int = CHUNK_S) -> DataFrame:
+    """(user_id, ts_s, stay_seq): every ping labeled with the stay
+    interval containing it — an interval-containment join, the temporal
+    twin of the spatial J9 radius prefilter.
+
+    Spark has no native range-join operator: the naive
+    ``ON p.user >= s.user AND p.ts BETWEEN s.start AND s.end`` plan
+    degrades to broadcast-nested-loop (O(|P| x |S|) per key). The
+    scalable shape is bin-and-filter: intervals explode to the fixed
+    time chunks they overlap (``sequence`` — bounded fan-out: dwell /
+    chunk_s rows per stay), probes map to their single chunk, and the
+    join becomes a plain (user_id, chunk) EQUI-join Catalyst can
+    hash/sort-merge and AQE can skew-split, followed by the exact
+    containment filter. Same two-level discipline as the spatial cell
+    equi-join + raycast refinement (pip.py): coarse discrete key first,
+    exact predicate second.
+
+    Per-user stays are disjoint and a probe occupies one chunk, so no
+    post-join dedup is needed (at most one candidate row matches).
+    """
+    stays = stay_points(pings).select(
+        "user_id",
+        "stay_seq",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / F.lit(float(chunk_s))).cast("long"),
+                F.floor(F.col("end_s") / F.lit(float(chunk_s))).cast("long"),
+            )
+        ).alias("chunk"),
+    )
+    probes = pings.select(
+        "user_id",
+        "ts_s",
+        F.floor(F.col("ts_s") / F.lit(float(chunk_s))).cast("long").alias("chunk"),
+    )
+    return (
+        probes.join(stays, ["user_id", "chunk"])
+        .filter((F.col("ts_s") >= F.col("start_s")) & (F.col("ts_s") <= F.col("end_s")))
+        .select("user_id", "ts_s", "stay_seq")
+    )
+
+
+def interval_join_oracle_sql(fix: str) -> str:
+    """Plain range join in DuckDB over the identical stay derivation
+    (small-scale semantics of the bin-and-filter plan)."""
+    stays = stay_points_oracle_sql(fix)
+    return f"""
+WITH stays AS ({stays})
+SELECT p.user_id, p.ts_s, s.stay_seq
+FROM read_parquet('{fix}/pings.parquet') p
+JOIN stays s
+  ON p.user_id = s.user_id AND p.ts_s BETWEEN s.start_s AND s.end_s
+"""

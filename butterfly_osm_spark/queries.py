@@ -1357,6 +1357,36 @@ def sql_bfs_hops(sf: str = ORACLE_SF) -> str:
     return bfs_hops_oracle_sql(edges_oracle_sql(_oracle_fix(sf)))
 
 
+def q_polygon_metrics(spark, sf_dir):
+    """Vector-GIS polygon metrics (round 5c): signed shoelace area,
+    exact-mm perimeter, cross-weighted centroid — all exact integer /
+    decimal sums (partitioning-order-proof), one polygon_id exchange."""
+    from .operators.geometry import polygon_metrics
+
+    return polygon_metrics(_read(spark, _fix(sf_dir), "polygon_edges"))
+
+
+def sql_polygon_metrics(sf: str = ORACLE_SF) -> str:
+    from .operators.geometry import polygon_metrics_oracle_sql
+
+    return polygon_metrics_oracle_sql(_oracle_fix(sf))
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval-containment join (round 5c): pings labeled with their
+    containing stay via the bin-and-filter range-join plan — interval
+    explode to time chunks, (user, chunk) equi-join, exact filter."""
+    from .operators.sessions import interval_join
+
+    return interval_join(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_interval_join(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import interval_join_oracle_sql
+
+    return interval_join_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1415,6 +1445,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchases": q_asof_purchases,
     "stay_points": q_stay_points,
     "bfs_hops": q_bfs_hops,
+    "polygon_metrics": q_polygon_metrics,
+    "interval_join": q_interval_join,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1510,6 +1542,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "asof_purchases": sql_asof_purchases,
     "stay_points": sql_stay_points,
     "bfs_hops": sql_bfs_hops,
+    "polygon_metrics": sql_polygon_metrics,
+    "interval_join": sql_interval_join,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

@@ -546,3 +546,23 @@ def test_bfs_hops_invariants_and_release(spark, fix001):
     dist.unpersist()
     release_checkpoint(dist)
     assert sc.getPersistentRDDs().size() == before, "bfs_hops leaked caches"
+
+
+def test_polygon_metrics_and_interval_join_plans(spark, fix001):
+    """Round-5c plan pins: polygon_metrics is one hash exchange with
+    map-side partial aggregation and no Python in the plan;
+    interval_join plans an EQUI-join (hash/sort-merge) — never the
+    broadcast-nested-loop a naive range join degrades to."""
+    from butterfly_osm_spark.operators.geometry import polygon_metrics
+    from butterfly_osm_spark.operators.sessions import interval_join
+
+    pe = spark.read.parquet(fix001 + "/polygon_edges.parquet")
+    plan = polygon_metrics(pe)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan.lower(), plan  # map-side combine
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    pings = spark.read.parquet(fix001 + "/pings.parquet")
+    jplan = interval_join(pings)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in jplan, jplan
+    assert "CartesianProduct" not in jplan, jplan
