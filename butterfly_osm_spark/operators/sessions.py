@@ -255,3 +255,60 @@ FROM read_parquet('{fix}/pings.parquet') p
 JOIN stays s
   ON p.user_id = s.user_id AND p.ts_s BETWEEN s.start_s AND s.end_s
 """
+
+
+# ---------------------------------------------------------------------------
+# origin-destination matrix from consecutive stays
+# ---------------------------------------------------------------------------
+
+
+def od_matrix(pings: DataFrame, cell_e7: int = STAY_CELL_E7) -> DataFrame:
+    """(from_cx, from_cy, to_cx, to_cy, n_trips): trip counts between
+    consecutive stay cells per user — the mobility OD matrix, the
+    demand-side twin of the reference's supply-side travel-time matrix
+    (its bucket M2M answers "how long between zones"; this answers "how
+    many actually went"). Built entirely on the stay_points derivation:
+    one lag window over (user, stay_seq) pairs consecutive stays, then
+    a cell-keyed count aggregate. The stays table is already
+    user_id-partitioned from its own windows, so the lag adds NO new
+    exchange; only the final (small, zone-pair-keyed) aggregate
+    shuffles.
+    """
+    stays = stay_points(pings, cell_e7=cell_e7)
+    fx = F.floor(F.col("lon_c") / F.lit(float(cell_e7))).alias("to_cx")
+    fy = F.floor(F.col("lat_c") / F.lit(float(cell_e7))).alias("to_cy")
+    w = Window.partitionBy("user_id").orderBy("stay_seq")
+    trans = stays.select("user_id", "stay_seq", fx, fy).select(
+        "user_id",
+        F.lag("to_cx").over(w).alias("from_cx"),
+        F.lag("to_cy").over(w).alias("from_cy"),
+        "to_cx",
+        "to_cy",
+    )
+    return (
+        trans.filter(F.col("from_cx").isNotNull())
+        .groupBy("from_cx", "from_cy", "to_cx", "to_cy")
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+    )
+
+
+def od_matrix_oracle_sql(fix: str, cell_e7: int = STAY_CELL_E7) -> str:
+    stays = stay_points_oracle_sql(fix, cell_e7=cell_e7)
+    return f"""
+WITH stays AS ({stays}),
+cells AS (
+  SELECT user_id, stay_seq,
+         CAST(floor(lon_c / {float(cell_e7)}) AS BIGINT) AS to_cx,
+         CAST(floor(lat_c / {float(cell_e7)}) AS BIGINT) AS to_cy
+  FROM stays
+), trans AS (
+  SELECT user_id,
+         lag(to_cx) OVER (PARTITION BY user_id ORDER BY stay_seq) AS from_cx,
+         lag(to_cy) OVER (PARTITION BY user_id ORDER BY stay_seq) AS from_cy,
+         to_cx, to_cy
+  FROM cells
+)
+SELECT from_cx, from_cy, to_cx, to_cy, CAST(count(*) AS BIGINT) AS n_trips
+FROM trans WHERE from_cx IS NOT NULL
+GROUP BY from_cx, from_cy, to_cx, to_cy
+"""

@@ -489,3 +489,98 @@ SELECT (CAST({res << cells.RES_SHIFT} AS BIGINT) + yi * {1 << cells.Y_SHIFT} + x
        CAST(heat AS BIGINT) AS heat
 FROM blurred
 """
+
+
+# ---------------------------------------------------------------------------
+# cell-set compaction (H3 `compact`-style tile-set compression, round 5c)
+# ---------------------------------------------------------------------------
+
+COMPACT_BASE_RES = 12
+COMPACT_MIN_RES = 8
+
+
+def cell_compact(
+    nodes: DataFrame, base_res: int = COMPACT_BASE_RES, min_res: int = COMPACT_MIN_RES
+) -> DataFrame:
+    """(cell_id, res, n_leaves): the minimal mixed-resolution cell set
+    whose leaf expansion equals the distinct base_res cover of ``nodes``
+    — the H3 ``compact`` operation on this engine's power-of-two grid,
+    and the set representation the reference's region-tile membership
+    would ship at planet scale (region_tiles.rs stores flat max-res
+    sets; compaction shrinks dense-urban covers ~4x per full level).
+
+    Plan shape: the level loop is BOUNDED (base_res - min_res rounds,
+    a compile-time constant, no data-dependent iteration): each round
+    is one vocabulary-sized groupBy on the parent id (count==4 detects
+    full parents) plus a left-anti join removing their children —
+    both keyed on cell ids, both AQE-coalesced; the corpus is touched
+    once (the initial distinct cover), everything after is cell-set
+    sized. All parent arithmetic is exact integer shifts (cells.py
+    packing), identical in the unrolled DuckDB oracle.
+    """
+    w = nodes.select(
+        cells.cell_col("lon_e7", "lat_e7", base_res).alias("cell_id")
+    ).distinct()
+    for r in range(base_res, min_res, -1):
+        is_r = F.shiftright(F.col("cell_id"), cells.RES_SHIFT) == r
+        cur = w.filter(is_r)
+        rest = w.filter(~is_r)
+        x = F.col("cell_id").bitwiseAND(F.lit(cells.X_MASK))
+        y = F.shiftright(F.col("cell_id"), cells.Y_SHIFT).bitwiseAND(F.lit(cells.Y_MASK))
+        parent = (
+            F.lit((r - 1) << cells.RES_SHIFT)
+            + F.shiftleft(F.shiftright(y, 1), cells.Y_SHIFT)
+            + F.shiftright(x, 1)
+        )
+        tagged = cur.withColumn("pcell", parent)
+        full = (
+            tagged.groupBy("pcell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 4)
+            .select("pcell")
+        )
+        kept = tagged.join(full, "pcell", "left_anti").select("cell_id")
+        w = rest.unionByName(kept).unionByName(
+            full.select(F.col("pcell").alias("cell_id"))
+        )
+    res_col = F.shiftright(F.col("cell_id"), cells.RES_SHIFT).cast("int")
+    return w.select(
+        "cell_id",
+        res_col.alias("res"),
+        F.pow(F.lit(4.0), (F.lit(base_res) - res_col)).cast("long").alias("n_leaves"),
+    )
+
+
+def cell_compact_oracle_sql(
+    fix: str, base_res: int = COMPACT_BASE_RES, min_res: int = COMPACT_MIN_RES
+) -> str:
+    """Unrolled per-level replay of the compaction in DuckDB."""
+    c = cells.cell_sql("lon_e7", "lat_e7", base_res)
+    sql = f"WITH w{base_res} AS (SELECT DISTINCT {c} AS cell_id FROM read_parquet('{fix}/osm_nodes.parquet'))"
+    prev = f"w{base_res}"
+    for r in range(base_res, min_res, -1):
+        parent = (
+            f"(CAST({(r - 1) << cells.RES_SHIFT} AS BIGINT)"
+            f" + ((((cell_id >> {cells.Y_SHIFT}) & {cells.Y_MASK}) >> 1) << {cells.Y_SHIFT})"
+            f" + ((cell_id & {cells.X_MASK}) >> 1))"
+        )
+        sql += f""",
+cur{r} AS (SELECT cell_id, {parent} AS pcell FROM {prev}
+           WHERE (cell_id >> {cells.RES_SHIFT}) = {r}),
+rest{r} AS (SELECT cell_id FROM {prev} WHERE (cell_id >> {cells.RES_SHIFT}) <> {r}),
+full{r} AS (SELECT pcell FROM cur{r} GROUP BY pcell HAVING count(*) = 4),
+w{r - 1} AS (
+  SELECT cell_id FROM rest{r}
+  UNION ALL
+  SELECT cell_id FROM cur{r} WHERE pcell NOT IN (SELECT pcell FROM full{r})
+  UNION ALL
+  SELECT pcell AS cell_id FROM full{r}
+)"""
+        prev = f"w{r - 1}"
+    sql += f"""
+SELECT cell_id,
+       CAST(cell_id >> {cells.RES_SHIFT} AS INT) AS res,
+       CAST(pow(4.0, {base_res} - (cell_id >> {cells.RES_SHIFT})) AS BIGINT) AS n_leaves
+FROM {prev}
+"""
+    return sql

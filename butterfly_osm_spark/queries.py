@@ -1387,6 +1387,36 @@ def sql_interval_join(sf: str = ORACLE_SF) -> str:
     return interval_join_oracle_sql(_oracle_fix(sf))
 
 
+def q_cell_compact(spark, sf_dir):
+    """H3-style cell-set compaction (round 5c): bounded level loop —
+    one vocabulary-sized parent groupBy + anti-join per level; the
+    corpus is scanned once for the initial distinct cover."""
+    from .operators.tiles import cell_compact
+
+    return cell_compact(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_cell_compact(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import cell_compact_oracle_sql
+
+    return cell_compact_oracle_sql(_oracle_fix(sf))
+
+
+def q_od_matrix(spark, sf_dir):
+    """Mobility OD matrix (round 5c): consecutive-stay transitions via
+    one lag window over the stay table (no new exchange) + a
+    zone-pair-keyed count aggregate."""
+    from .operators.sessions import od_matrix
+
+    return od_matrix(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_od_matrix(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import od_matrix_oracle_sql
+
+    return od_matrix_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1447,6 +1477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bfs_hops": q_bfs_hops,
     "polygon_metrics": q_polygon_metrics,
     "interval_join": q_interval_join,
+    "cell_compact": q_cell_compact,
+    "od_matrix": q_od_matrix,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1544,6 +1576,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "bfs_hops": sql_bfs_hops,
     "polygon_metrics": sql_polygon_metrics,
     "interval_join": sql_interval_join,
+    "cell_compact": sql_cell_compact,
+    "od_matrix": sql_od_matrix,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

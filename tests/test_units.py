@@ -566,3 +566,35 @@ def test_polygon_metrics_and_interval_join_plans(spark, fix001):
     jplan = interval_join(pings)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in jplan, jplan
     assert "CartesianProduct" not in jplan, jplan
+
+
+def test_cell_compact_leaf_conservation(spark, fix001):
+    """Compaction must partition the original base-res cover exactly:
+    sum of 4^(base_res - res) leaf counts equals the distinct base cover
+    size, and no compacted cell is an ancestor of another."""
+    from butterfly_osm_spark import cells
+    from butterfly_osm_spark.operators.tiles import COMPACT_BASE_RES, cell_compact
+
+    nodes = spark.read.parquet(fix001 + "/osm_nodes.parquet")
+    out = cell_compact(nodes).collect()
+    base = (
+        nodes.select(cells.cell_col("lon_e7", "lat_e7", COMPACT_BASE_RES).alias("c"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_leaves for r in out) == base
+    assert all(r.n_leaves == 4 ** (COMPACT_BASE_RES - r.res) for r in out)
+    # ancestor-freedom: lift every cell to each coarser present res; none
+    # of those ancestors may itself be in the set
+    by_res = {}
+    for r in out:
+        by_res.setdefault(r.res, set()).add(r.cell_id)
+    for r in out:
+        x = r.cell_id & cells.X_MASK
+        y = (r.cell_id >> cells.Y_SHIFT) & cells.Y_MASK
+        for pr in by_res:
+            if pr >= r.res:
+                continue
+            dr = r.res - pr
+            anc = (pr << cells.RES_SHIFT) | ((y >> dr) << cells.Y_SHIFT) | (x >> dr)
+            assert anc not in by_res[pr], (r.cell_id, anc)
