@@ -312,3 +312,146 @@ SELECT from_cx, from_cy, to_cx, to_cy, CAST(count(*) AS BIGINT) AS n_trips
 FROM trans WHERE from_cx IS NOT NULL
 GROUP BY from_cx, from_cy, to_cx, to_cy
 """
+
+
+# ---------------------------------------------------------------------------
+# trajectory resampling + speed/outlier screening
+# ---------------------------------------------------------------------------
+
+TICK_S = 600  # resample grid (seconds)
+MAX_INTERP_GAP_S = 3600  # never interpolate across a broken trajectory
+SPEED_OUTLIER_MMS = 50_000  # 50 m/s — physically implausible for ground GPS
+
+
+def traj_resample(pings: DataFrame, tick_s: int = TICK_S, max_gap_s: int = MAX_INTERP_GAP_S) -> DataFrame:
+    """(user_id, t_s, lat_i, lon_i): each trajectory linearly resampled
+    onto the fixed ``tick_s`` time grid — the regularization step every
+    trajectory-mining pipeline runs before map-matching or stay mining
+    (the reference's HMM matcher equally assumes near-uniform probe
+    cadence, route/src/server/mapmatch.rs). Ticks are taken strictly
+    after the segment start and up to its end ((t1, t2] — adjacent
+    segments never double-emit a tick), and segments longer than
+    ``max_gap_s`` are treated as trajectory breaks and not interpolated.
+
+    Pure window + bounded explode (fan-out <= max_gap_s / tick_s per
+    segment, a compile-time constant): one user_id exchange for the
+    lead window, map-only after; interpolation is a single per-row
+    IEEE expression (no aggregation), so results are bit-identical
+    under any partitioning. Coordinates rounded to 1e-2 e7 units, the
+    interp_midpoint convention.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    seg = pings.select(
+        "user_id",
+        "ts_s",
+        "lat_e7",
+        "lon_e7",
+        F.lead("ts_s").over(w).alias("t2"),
+        F.lead("lat_e7").over(w).alias("lat2"),
+        F.lead("lon_e7").over(w).alias("lon2"),
+    ).filter(F.col("t2").isNotNull() & (F.col("t2") - F.col("ts_s") <= max_gap_s))
+    k1 = (F.floor(F.col("ts_s") / F.lit(float(tick_s))) + 1).cast("long")
+    k2 = F.floor(F.col("t2") / F.lit(float(tick_s))).cast("long")
+    ticks = seg.select(
+        "user_id",
+        "ts_s",
+        "lat_e7",
+        "lon_e7",
+        "t2",
+        "lat2",
+        "lon2",
+        F.explode(
+            F.when(k1 <= k2, F.sequence(k1, k2)).otherwise(F.array().cast("array<long>"))
+        ).alias("k"),
+    )
+    t = (F.col("k") * tick_s).alias("t_s")
+    frac = (F.col("k") * tick_s - F.col("ts_s")).cast("double") / (
+        F.col("t2") - F.col("ts_s")
+    ).cast("double")
+    return ticks.select(
+        "user_id",
+        t,
+        F.round(F.col("lat_e7") + (F.col("lat2") - F.col("lat_e7")) * frac, 2).alias("lat_i"),
+        F.round(F.col("lon_e7") + (F.col("lon2") - F.col("lon_e7")) * frac, 2).alias("lon_i"),
+    )
+
+
+def traj_resample_oracle_sql(
+    fix: str, tick_s: int = TICK_S, max_gap_s: int = MAX_INTERP_GAP_S
+) -> str:
+    return f"""
+WITH seg AS (
+  SELECT user_id, ts_s, lat_e7, lon_e7,
+         lead(ts_s) OVER w AS t2,
+         lead(lat_e7) OVER w AS lat2,
+         lead(lon_e7) OVER w AS lon2
+  FROM read_parquet('{fix}/pings.parquet')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+), ok AS (
+  SELECT * FROM seg WHERE t2 IS NOT NULL AND t2 - ts_s <= {max_gap_s}
+), ticks AS (
+  SELECT *, unnest(range(CAST(floor(ts_s / {float(tick_s)}) AS BIGINT) + 1,
+                         CAST(floor(t2 / {float(tick_s)}) AS BIGINT) + 1)) AS k
+  FROM ok
+)
+SELECT user_id, k * {tick_s} AS t_s,
+       round(lat_e7 + (lat2 - lat_e7) * (CAST(k * {tick_s} - ts_s AS DOUBLE) / (t2 - ts_s)), 2) AS lat_i,
+       round(lon_e7 + (lon2 - lon_e7) * (CAST(k * {tick_s} - ts_s AS DOUBLE) / (t2 - ts_s)), 2) AS lon_i
+FROM ticks
+"""
+
+
+def ping_speed(pings: DataFrame, outlier_mms: int = SPEED_OUTLIER_MMS) -> DataFrame:
+    """(user_id, ts_s, dt_s, speed_mms, is_outlier): per-ping ground
+    speed from the previous fix (haversine over the segment, integer
+    mm/s) and the physical-plausibility flag GPS cleaning drops on —
+    the probe-screening step ahead of map-matching (the reference's
+    matcher downweights implausible jumps; here they are made explicit
+    and filterable). One user_id window exchange; speed is the proven
+    round-to-integer haversine discipline (extract length_mm), so the
+    flag can never flip between engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    lagged = pings.select(
+        "user_id",
+        "ts_s",
+        "lat_e7",
+        "lon_e7",
+        F.lag("ts_s").over(w).alias("t0"),
+        F.lag("lat_e7").over(w).alias("lat0"),
+        F.lag("lon_e7").over(w).alias("lon0"),
+    ).filter(F.col("t0").isNotNull() & (F.col("ts_s") > F.col("t0")))
+    from ..geo import haversine_m_col
+
+    speed = F.round(
+        haversine_m_col("lon0", "lat0", "lon_e7", "lat_e7")
+        * 1000.0
+        / (F.col("ts_s") - F.col("t0"))
+    ).cast("long")
+    return lagged.select(
+        "user_id",
+        "ts_s",
+        (F.col("ts_s") - F.col("t0")).alias("dt_s"),
+        speed.alias("speed_mms"),
+        (speed > outlier_mms).alias("is_outlier"),
+    )
+
+
+def ping_speed_oracle_sql(fix: str, outlier_mms: int = SPEED_OUTLIER_MMS) -> str:
+    from ..geo import haversine_m_sql
+
+    hav = haversine_m_sql("lon0", "lat0", "lon_e7", "lat_e7")
+    return f"""
+WITH lagged AS (
+  SELECT user_id, ts_s, lat_e7, lon_e7,
+         lag(ts_s) OVER w AS t0,
+         lag(lat_e7) OVER w AS lat0,
+         lag(lon_e7) OVER w AS lon0
+  FROM read_parquet('{fix}/pings.parquet')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)
+)
+SELECT user_id, ts_s, ts_s - t0 AS dt_s,
+       CAST(round({hav} * 1000.0 / (ts_s - t0)) AS BIGINT) AS speed_mms,
+       CAST(round({hav} * 1000.0 / (ts_s - t0)) AS BIGINT) > {outlier_mms} AS is_outlier
+FROM lagged WHERE t0 IS NOT NULL AND ts_s > t0
+"""

@@ -1417,6 +1417,34 @@ def sql_od_matrix(sf: str = ORACLE_SF) -> str:
     return od_matrix_oracle_sql(_oracle_fix(sf))
 
 
+def q_traj_resample(spark, sf_dir):
+    """Trajectory resampling onto a fixed time grid (round 5c): lead
+    window + bounded tick explode, per-row IEEE interpolation only."""
+    from .operators.sessions import traj_resample
+
+    return traj_resample(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_traj_resample(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import traj_resample_oracle_sql
+
+    return traj_resample_oracle_sql(_oracle_fix(sf))
+
+
+def q_ping_speed(spark, sf_dir):
+    """Per-ping ground speed + GPS plausibility flag (round 5c): one
+    user_id window, integer-mm/s haversine — the probe-screening pass."""
+    from .operators.sessions import ping_speed
+
+    return ping_speed(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_ping_speed(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import ping_speed_oracle_sql
+
+    return ping_speed_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1479,6 +1507,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "cell_compact": q_cell_compact,
     "od_matrix": q_od_matrix,
+    "traj_resample": q_traj_resample,
+    "ping_speed": q_ping_speed,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1578,6 +1608,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "interval_join": sql_interval_join,
     "cell_compact": sql_cell_compact,
     "od_matrix": sql_od_matrix,
+    "traj_resample": sql_traj_resample,
+    "ping_speed": sql_ping_speed,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,
