@@ -110,3 +110,129 @@ walk(node_id, hops) AS (
 )
 SELECT node_id, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node_id
 """
+
+
+# ---------------------------------------------------------------------------
+# weighted isochrone: time-bounded reachability (the reference's headline)
+# ---------------------------------------------------------------------------
+
+BUDGET_MS = 300_000  # 5-minute drive-time isochrone
+
+
+def isochrone_ms(
+    edges: DataFrame,
+    way_attrs: DataFrame,
+    seed_mod: int = SEED_MOD,
+    budget_ms: int = BUDGET_MS,
+    max_iters: int = 40,
+) -> DataFrame:
+    """(node_id, time_ms): minimum car travel time from the nearest seed
+    vertex, for every vertex within ``budget_ms`` — the distributed
+    analog of the reference's isochrone engine (block-gated PHAST,
+    route/src/range; README '1526 iso/s'): full PHAST needs the CCH
+    hierarchy (out of graft scope, SURVEY §2.3), but the reachability
+    semantics are exactly label-correcting relaxation, which Spark
+    expresses as the same bounded loop as :func:`bfs_hops` with an
+    integer edge weight and a budget prune.
+
+    Edge weights: ``round(length_mm * 3.6 / speed_car_kmh)`` ms — one
+    IEEE expression per row, deterministic in both engines; oneway ways
+    relax forward only. Each round is one frontier x adjacency
+    equi-join shuffle (node-id keyed, the bucket key at scale) plus a
+    min-merge; only IMPROVED labels re-enter the frontier, so rounds
+    shrink monotonically; positive integer weights + the budget prune
+    guarantee termination. Checkpoint hygiene identical to bfs_hops.
+
+    Returns one persisted O(reachable) frame; caller releases it.
+    """
+    wa = way_attrs.select("way_id", "speed_car_kmh", "access_car", "oneway").filter(
+        F.col("access_car")
+    )
+    ew = edges.join(wa, "way_id").select(
+        "u_node",
+        "v_node",
+        "oneway",
+        F.round(F.col("length_mm") * 3.6 / F.col("speed_car_kmh"))
+        .cast("long")
+        .alias("w"),
+    )
+    fwd = ew.select(F.col("u_node").alias("s"), F.col("v_node").alias("d"), "w")
+    bwd = ew.filter(~F.col("oneway")).select(
+        F.col("v_node").alias("s"), F.col("u_node").alias("d"), "w"
+    )
+    adj = fwd.unionByName(bwd).persist()
+    dist = (
+        adj.select(F.col("s").alias("node_id"))
+        .distinct()
+        .filter(F.col("node_id") % seed_mod == 0)
+        .select("node_id", F.lit(0).cast("long").alias("time_ms"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    iters = 0
+    while True:
+        iters += 1
+        if iters > max_iters:
+            raise RuntimeError(f"isochrone_ms did not converge in {max_iters} rounds")
+        cand = (
+            frontier.join(adj, frontier.node_id == adj.s)
+            .select(F.col("d").alias("node_id"), (F.col("time_ms") + F.col("w")).alias("t"))
+            .filter(F.col("t") <= budget_ms)
+            .groupBy("node_id")
+            .agg(F.min("t").alias("t"))
+        )
+        improved = (
+            cand.join(dist.select("node_id", F.col("time_ms").alias("t_old")), "node_id", "left")
+            .where(F.col("t_old").isNull() | (F.col("t") < F.col("t_old")))
+            .select("node_id", F.col("t").alias("time_ms"))
+            .localCheckpoint(eager=True)
+        )
+        n_improved = improved.count()
+        if frontier is not dist:
+            release_checkpoint(frontier)
+        if n_improved == 0:
+            release_checkpoint(improved)
+            break
+        new_dist = (
+            dist.unionByName(improved)
+            .groupBy("node_id")
+            .agg(F.min("time_ms").alias("time_ms"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(dist)
+        dist, frontier = new_dist, improved
+    adj.unpersist()
+    out = dist.persist()
+    out.count()
+    release_checkpoint(dist)
+    return out
+
+
+def isochrone_oracle_sql(
+    edges_sql: str,
+    way_attrs_sql: str,
+    seed_mod: int = SEED_MOD,
+    budget_ms: int = BUDGET_MS,
+) -> str:
+    """Budget-bounded recursive-CTE replay over the identical directed
+    weighted graph derivation (positive weights + the budget prune bound
+    the recursion; UNION dedups (node, t) states)."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+wa AS ({way_attrs_sql}),
+dir AS (
+  SELECT u_node AS s, v_node AS d,
+         CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT) AS w
+  FROM e JOIN wa USING (way_id) WHERE access_car
+  UNION ALL
+  SELECT v_node, u_node, CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT)
+  FROM e JOIN wa USING (way_id) WHERE access_car AND NOT oneway
+),
+walk(node_id, t) AS (
+  SELECT DISTINCT s AS node_id, CAST(0 AS BIGINT) AS t FROM dir WHERE s % {seed_mod} = 0
+  UNION
+  SELECT dir.d, walk.t + dir.w FROM walk JOIN dir ON dir.s = walk.node_id
+  WHERE walk.t + dir.w <= {budget_ms}
+)
+SELECT node_id, min(t) AS time_ms FROM walk GROUP BY node_id
+"""

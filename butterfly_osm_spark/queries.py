@@ -1445,6 +1445,30 @@ def sql_ping_speed(sf: str = ORACLE_SF) -> str:
     return ping_speed_oracle_sql(_oracle_fix(sf))
 
 
+def q_isochrone_ms(spark, sf_dir):
+    """Weighted isochrone (round 5c): 5-minute drive-time reachability
+    from the seed set by label-correcting relaxation — bfs_hops's loop
+    with integer ms edge weights, oneway handling and a budget prune."""
+    from .operators.graph import isochrone_ms
+
+    fix = _fix(sf_dir)
+    ways = _read(spark, fix, "osm_ways")
+    return isochrone_ms(
+        build_edges(ways, _read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes")),
+        compile_way_attrs(ways),
+    )
+
+
+def sql_isochrone_ms(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import isochrone_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return isochrone_oracle_sql(
+        edges_oracle_sql(fix),
+        way_attrs_oracle_sql(f"{fix}/way_tags.parquet", f"{fix}/osm_ways.parquet"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1509,6 +1533,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "od_matrix": q_od_matrix,
     "traj_resample": q_traj_resample,
     "ping_speed": q_ping_speed,
+    "isochrone_ms": q_isochrone_ms,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1610,6 +1635,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "od_matrix": sql_od_matrix,
     "traj_resample": sql_traj_resample,
     "ping_speed": sql_ping_speed,
+    "isochrone_ms": sql_isochrone_ms,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

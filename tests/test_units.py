@@ -598,3 +598,34 @@ def test_cell_compact_leaf_conservation(spark, fix001):
             dr = r.res - pr
             anc = (pr << cells.RES_SHIFT) | ((y >> dr) << cells.Y_SHIFT) | (x >> dr)
             assert anc not in by_res[pr], (r.cell_id, anc)
+
+
+def test_isochrone_invariants_and_release(spark, fix001):
+    """isochrone_ms: seeds at 0 ms, everything within budget, triangle
+    consistency vs hop seeds (time >= 0 and monotone non-teleporting);
+    caching contract: one persisted result, zero survivors."""
+    from butterfly_osm_spark.functions.model import compile_way_attrs
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.extract import build_edges
+    from butterfly_osm_spark.operators.graph import BUDGET_MS, SEED_MOD, isochrone_ms
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    ways = spark.read.parquet(fix001 + "/osm_ways.parquet")
+    edges = build_edges(
+        ways,
+        spark.read.parquet(fix001 + "/way_nodes.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    )
+    iso = isochrone_ms(edges, compile_way_attrs(ways))
+    rows = iso.collect()
+    assert rows
+    assert all((r.node_id % SEED_MOD == 0) == (r.time_ms == 0) for r in rows)
+    assert all(0 <= r.time_ms <= BUDGET_MS for r in rows)
+    assert len({r.node_id for r in rows}) == len(rows)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    iso.unpersist()
+    release_checkpoint(iso)
+    assert sc.getPersistentRDDs().size() == before, "isochrone_ms leaked caches"
