@@ -575,8 +575,15 @@ def test_cell_compact_leaf_conservation(spark, fix001):
     from butterfly_osm_spark import cells
     from butterfly_osm_spark.operators.tiles import COMPACT_BASE_RES, cell_compact
 
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
     nodes = spark.read.parquet(fix001 + "/osm_nodes.parquet")
-    out = cell_compact(nodes).collect()
+    compacted = cell_compact(nodes)
+    out = compacted.collect()
+    assert sc.getPersistentRDDs().size() - before <= 1  # only the result
+    compacted.unpersist()
+    assert sc.getPersistentRDDs().size() == before, "cell_compact leaked caches"
     base = (
         nodes.select(cells.cell_col("lon_e7", "lat_e7", COMPACT_BASE_RES).alias("c"))
         .distinct()
