@@ -113,3 +113,44 @@ def test_stateful_sessionize_matches_batch(spark, fix001, tmp_path):
     }
     assert got == want
     assert len(want) > 50, "fixture should contain many multi-session users"
+
+
+def test_stateful_asof_matches_batch(spark, tmp_path):
+    """applyInPandasWithState as-of enrichment on an availableNow replay
+    (single micro-batch -> full per-user history per fold call) must
+    emit exactly the batch asof_purchases rows, NULL carries included."""
+    from butterfly_osm_spark.operators.asof import asof_purchases
+    from butterfly_osm_spark.streaming.asof import asof_purchases_stream
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "events_landing")
+    src.coalesce(1).write.mode("overwrite").parquet(d)
+
+    stream = spark.readStream.schema(src.schema).parquet(d)
+    q = (
+        asof_purchases_stream(stream)
+        .writeStream.format("memory")
+        .queryName("asofstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def norm(rows):
+        return {
+            (
+                r.event_id,
+                r.user_id,
+                r.ts_us,
+                r.event_type,
+                r.asof_purchase_id if r.asof_purchase_id is not None else -1,
+                round(r.asof_value, 6) if r.asof_value is not None else -1.0,
+            )
+            for r in rows
+        }
+
+    got = norm(spark.sql("SELECT * FROM asofstream").collect())
+    want = norm(asof_purchases(spark.read.parquet(d)).collect())
+    assert len(want) > 100
+    assert got == want
