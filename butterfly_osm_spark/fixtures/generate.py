@@ -58,7 +58,7 @@ from ..codecs.png import decode_qnt, encode_png, encode_qnt, phash64, psnr_db
 
 SEED = 42
 # bump when adding tables / changing generation — stale dirs regenerate
-FIXTURE_VERSION = "18"
+FIXTURE_VERSION = "19"  # v19 adds simplify_truth (DP gentime reference)
 
 # Belgium-like bbox (scripts/osrm_parity_suite.py:24-26)
 LON_MIN, LON_MAX = 2.5, 6.4
@@ -877,6 +877,39 @@ def _tsp_reference(query_points: pa.Table, stops_per_trip: int = 12, max_stops: 
     )
 
 
+def _simplify_reference(wn) -> pa.Table:
+    """Single-threaded reference run of the Douglas-Peucker kernel over
+    every way — the simplify_truth golden (tsp_truth discipline: the
+    driver oracle verifies the distributed collect/UDF run reproduces
+    this row-for-row; the kernel itself is shared code)."""
+    from ..operators.simplify import SIMPLIFY_TOL_E7, dp_keep_indices
+
+    id_to_pos = {int(i): k for k, i in enumerate(wn["node_ids"])}
+    node_lon, node_lat = wn["node_lon"], wn["node_lat"]
+    L, way_ids, vn = wn["L"], wn["way_ids"], wn["vert_node_id"]
+    rw: list[int] = []
+    rs: list[int] = []
+    rn: list[int] = []
+    off = 0
+    for w in range(len(way_ids)):
+        ids = vn[off : off + L[w]]
+        off += L[w]
+        pos = np.array([id_to_pos[int(i)] for i in ids], dtype=np.int64)
+        x = node_lon[pos].astype(np.float64)
+        y = node_lat[pos].astype(np.float64)
+        for s in dp_keep_indices(x, y, SIMPLIFY_TOL_E7):
+            rw.append(int(way_ids[w]))
+            rs.append(int(s))
+            rn.append(int(ids[s]))
+    return pa.table(
+        {
+            "way_id": pa.array(np.array(rw, dtype=np.int64)),
+            "seq": pa.array(np.array(rs, dtype=np.int32)),
+            "node_id": pa.array(np.array(rn, dtype=np.int64)),
+        }
+    )
+
+
 def _gen_query_points(rng: np.random.Generator, n_q: int, node_lon: np.ndarray, node_lat: np.ndarray):
     n_near = int(n_q * 0.80)
     n_mid = int(n_q * 0.15)
@@ -1387,6 +1420,7 @@ def generate(sf: str, out_dir: str) -> None:
     _write(out_dir, "pings", _gen_pings(streams["pings"], c["ping_users"]))
     n_traces = max(20, int(200 * float(sf) / 0.01))
     _write(out_dir, "traces", _gen_traces(streams["traces"], wn, n_traces))
+    _write(out_dir, "simplify_truth", _simplify_reference(wn))
 
     # LSH hyperplanes materialized as a table so DuckDB can replicate the
     # ANN sketch pipeline relationally (differential oracle for

@@ -1469,6 +1469,22 @@ def sql_isochrone_ms(sf: str = ORACLE_SF) -> str:
     )
 
 
+def q_line_simplify(spark, sf_dir):
+    """Douglas-Peucker polyline thinning (round 5c): per-way sequential
+    kernel over Arrow batches (the Viterbi/TSP pandas-UDF tier), grouped
+    on the key the vertex join already shuffles on."""
+    from .operators.simplify import line_simplify
+
+    fix = _fix(sf_dir)
+    return line_simplify(_read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes"))
+
+
+def sql_line_simplify(sf: str = ORACLE_SF) -> str:
+    from .operators.simplify import line_simplify_oracle_sql
+
+    return line_simplify_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1534,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traj_resample": q_traj_resample,
     "ping_speed": q_ping_speed,
     "isochrone_ms": q_isochrone_ms,
+    "line_simplify": q_line_simplify,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1636,6 +1653,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "traj_resample": sql_traj_resample,
     "ping_speed": sql_ping_speed,
     "isochrone_ms": sql_isochrone_ms,
+    "line_simplify": sql_line_simplify,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

@@ -636,3 +636,45 @@ def test_isochrone_invariants_and_release(spark, fix001):
     iso.unpersist()
     release_checkpoint(iso)
     assert sc.getPersistentRDDs().size() == before, "isochrone_ms leaked caches"
+
+
+def test_line_simplify_dp_contract(spark, fix001):
+    """DP guarantee: endpoints survive, kept vertices are a subsequence
+    of the original chain, and every DROPPED vertex lies within
+    SIMPLIFY_TOL_E7 of the segment between its surrounding kept
+    vertices — checked geometrically, independent of the golden."""
+    import duckdb
+
+    from butterfly_osm_spark.operators.simplify import SIMPLIFY_TOL_E7, line_simplify
+
+    kept = line_simplify(
+        spark.read.parquet(fix001 + "/way_nodes.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    ).toPandas()
+    full = duckdb.sql(
+        f"""SELECT w.way_id, w.seq, n.lon_e7 AS x, n.lat_e7 AS y
+            FROM '{fix001}/way_nodes.parquet' w
+            JOIN '{fix001}/osm_nodes.parquet' n ON w.node_id = n.id
+            ORDER BY w.way_id, w.seq"""
+    ).df()
+    dropped_total = 0
+    for way_id, g in full.groupby("way_id"):
+        ks = sorted(kept[kept.way_id == way_id].seq.tolist())
+        seqs = g.seq.tolist()
+        assert ks[0] == seqs[0] and ks[-1] == seqs[-1], way_id
+        assert set(ks) <= set(seqs)
+        xs = dict(zip(g.seq, g.x))
+        ys = dict(zip(g.seq, g.y))
+        for a, b in zip(ks, ks[1:]):
+            xi, yi, xj, yj = xs[a], ys[a], xs[b], ys[b]
+            dx, dy = xj - xi, yj - yi
+            l2 = dx * dx + dy * dy
+            for s in range(a + 1, b):
+                if s not in xs:
+                    continue
+                px, py = xs[s] - xi, ys[s] - yi
+                t = 0.0 if l2 == 0 else min(1.0, max(0.0, (px * dx + py * dy) / l2))
+                d2 = (px - t * dx) ** 2 + (py - t * dy) ** 2
+                assert d2 <= SIMPLIFY_TOL_E7**2 + 1e-6, (way_id, s, d2)
+                dropped_total += 1
+    assert dropped_total > 100  # the tolerance actually thins the chains
