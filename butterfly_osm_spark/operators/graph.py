@@ -236,3 +236,104 @@ walk(node_id, t) AS (
 )
 SELECT node_id, min(t) AS time_ms FROM walk GROUP BY node_id
 """
+
+
+# ---------------------------------------------------------------------------
+# PageRank: fixed-point power iteration over the road graph
+# ---------------------------------------------------------------------------
+
+PR_ITERS = 5
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(node_id, pr_fp, pagerank): ``iters`` power-iteration rounds of
+    PageRank (damping 0.85, ranks normalised to mean 1.0) over the
+    undirected road graph — the distributed importance metric the
+    reference's hierarchy construction orders contraction by (node
+    importance in route/src/cch nested dissection; SURVEY graph notes).
+
+    Cross-engine exactness: ranks are BIGINT fixed-point (1e12 = rank
+    1.0) and every round is pure integer arithmetic — contribution =
+    ``pr div outdeg`` (Spark ``div`` == DuckDB ``//`` on positives),
+    next = 0.15 + 0.85 x sum(contrib) in the same scaled integer form —
+    so partition/summation order cannot perturb results and the DuckDB
+    oracle (unrolled CTE per round) reproduces Spark bit-for-bit. The
+    one double column is a final display division, rounded to 6 dp.
+
+    Scale shape (100 TB): per round exactly one node-keyed join shuffle
+    (rank x adjacency) and one node-keyed sum — both on the key the edge
+    table is bucketed by (extract.py), so on a bucketed warehouse the
+    rounds are co-located scans. The undirected graph has no dangling
+    vertices (every vertex sources >= 1 arc), so no rank mass leaks and
+    no driver-side correction term is needed; driver traffic is zero.
+    Rank tables are localCheckpoint-ed per round with immediate release
+    of the superseded round (the CC-loop lineage discipline).
+    """
+    adj = (
+        edges.select(F.col("u_node").alias("s"), F.col("v_node").alias("d"))
+        .unionByName(edges.select(F.col("v_node").alias("s"), F.col("u_node").alias("d")))
+        .distinct()
+        .persist()
+    )
+    deg = adj.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    base = (15 * PR_SCALE) // 100
+    rank = deg.select(
+        F.col("s").alias("node_id"), F.lit(PR_SCALE).cast("long").alias("pr_fp")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contrib = (
+            rank.join(deg, rank.node_id == deg.s)
+            .select("node_id", F.expr("pr_fp div outdeg").alias("c"))
+            .join(adj, F.col("node_id") == adj.s)
+            .select(F.col("d").alias("node_id"), "c")
+        )
+        nxt = (
+            contrib.groupBy("node_id")
+            .agg((F.lit(base) + F.expr("85 * sum(c) div 100")).alias("pr_fp"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(rank)
+        rank = nxt
+    out = rank.select(
+        "node_id", "pr_fp", F.round(F.col("pr_fp").cast("double") / PR_SCALE, 6).alias("pagerank")
+    )
+    from .dedup import eager_release
+
+    res = eager_release(out, [adj, deg])
+    release_checkpoint(rank)
+    return res
+
+
+def pagerank_oracle_sql(edges_sql: str, iters: int = PR_ITERS) -> str:
+    """Unrolled per-round CTE replay of the identical integer arithmetic."""
+    base = (15 * PR_SCALE) // 100
+    ctes = [
+        f"""e AS ({edges_sql})""",
+        """adj AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT u_node AS s, v_node AS d FROM e
+    UNION ALL
+    SELECT v_node AS s, u_node AS d FROM e
+  )
+)""",
+        "deg AS (SELECT s, count(*) AS outdeg FROM adj GROUP BY s)",
+        f"r0 AS (SELECT s AS node_id, CAST({PR_SCALE} AS BIGINT) AS pr_fp FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT a.d AS node_id,
+         CAST({base} + (85 * sum(r.pr_fp // g.outdeg)) // 100 AS BIGINT) AS pr_fp
+  FROM r{i - 1} r JOIN deg g ON g.s = r.node_id JOIN adj a ON a.s = r.node_id
+  GROUP BY a.d
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT node_id, pr_fp, round(CAST(pr_fp AS DOUBLE) / {PR_SCALE}, 6) AS pagerank
+FROM r{iters}
+"""
+    )

@@ -351,3 +351,54 @@ WITH RECURSIVE edges AS (
 SELECT node AS image_id, min(lab) AS cluster_id, (node = min(lab)) AS is_keeper
 FROM reach GROUP BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# skyline: 2D pareto frontier over image resolution
+# ---------------------------------------------------------------------------
+
+
+def skyline_images(images: DataFrame) -> DataFrame:
+    """(image_id, w, h): the resolution skyline — images for which no
+    other image is at least as large in BOTH dimensions and strictly
+    larger in one (the classic pareto / maximal-vector operator; a
+    curation pipeline uses it to pick "best available resolution"
+    candidates before decode). Ties on (w, h) all survive.
+
+    Plan shape (100 TB): the corpus reduces to DISTINCT-WIDTH rows with
+    one partial-aggregated groupBy (max h per w) — the skyline of a 2D
+    set is a function of that vocabulary only. The dominance test is a
+    running max over widths-descending, expressed as an ASC range frame
+    on negated width so both engines use the identical frame semantics
+    (w' > w  <=>  -w' <= -w - 1); the single-partition window is
+    bounded by the number of DISTINCT widths (hardware-enumerable,
+    ~10^3), never by corpus size. Survivors broadcast-join back to tag
+    image ids; image bytes are never read (ReadSchema prunes to
+    image_id, w, h).
+    """
+    from pyspark.sql import Window
+
+    per_w = images.groupBy("w").agg(F.max("h").alias("hx")).withColumn("nw", -F.col("w"))
+    win = Window.orderBy("nw").rangeBetween(Window.unboundedPreceding, -1)
+    sky = (
+        per_w.withColumn("mprev", F.max("hx").over(win))
+        .filter(F.col("mprev").isNull() | (F.col("hx") > F.col("mprev")))
+        .select("w", F.col("hx").alias("h"))
+    )
+    return images.join(F.broadcast(sky), ["w", "h"]).select("image_id", "w", "h")
+
+
+def skyline_images_oracle_sql(fix: str) -> str:
+    """Independent dominance recompute (NOT EXISTS anti-join) — a
+    different algorithm than Spark's running-max window, same set."""
+    return f"""
+WITH img AS (
+  SELECT image_id, w, h FROM read_parquet('{fix}/images.parquet')
+)
+SELECT a.image_id, a.w, a.h
+FROM img a
+WHERE NOT EXISTS (
+  SELECT 1 FROM img b
+  WHERE b.w >= a.w AND b.h >= a.h AND (b.w > a.w OR b.h > a.h)
+)
+"""

@@ -1,0 +1,250 @@
+"""Grid-graph spatial statistics: triangle census and Moran's I.
+
+The reference ships density classification and per-region aggregate
+surfaces (butterfly-common profile density stats; docs/architecture.md
+tile aggregation) but no corpus-level *spatial statistics* layer; a
+100 TB geo-curation pipeline needs exactly two such primitives, and
+both are expressible as pure relational plans over the repo's integer
+cell grid (cells.py, P11 fixed-point):
+
+- ``cell_triangles`` — triangle census + global clustering coefficient
+  of the queen-adjacency (8-neighbour) graph of OCCUPIED cells: how
+  blob-like vs filament-like the mapped area is. The classic triangle
+  join (orient edges small->large id; two joins wedge->close) is
+  LINEAR here, not the social-graph worst case: a grid graph has max
+  degree 8, so per-edge wedge fan-out is bounded by a constant and no
+  degree-ordering trick is needed — worth stating because it is the
+  reason the naive-looking 3-way self-join IS the 100 TB plan.
+- ``morans_i`` — Moran's I spatial autocorrelation of per-cell node
+  counts under rook (4-neighbour) adjacency, the standard "is density
+  clustered or random" test statistic. Cross-engine exactness comes
+  from algebra, not floats: with x_i the integer cell counts, expand
+
+      num = sum_adj (n*x_i - S)(n*x_j - S) = n^2*P - n*S*Q + S^2*W
+      den = sum_i  (n*x_i - S)^2 * ... = n^2*D2 - n*S^2
+      I   = n * num / (W * den)
+
+  where P = sum_adj x_i*x_j, Q = sum_adj (x_i+x_j), D2 = sum x_i^2,
+  S = sum x_i, W = directed-adjacency count. Every aggregate is an
+  exact BIGINT sum (each term bounded far below 2^63 even at sf4);
+  the n^2-scaled combine runs in DECIMAL(38,0) / HUGEINT on the ONE
+  final row, and int -> double conversion routes through VARCHAR in
+  DuckDB (direct HUGEINT->DOUBLE truncates — the polygon_metrics
+  lesson, geometry.py).
+
+Scale shape (100 TB): both operators reduce the corpus to the occupied
+CELL VOCABULARY with one partial-aggregated groupBy (the tile_pyramid
+posture); all adjacency work — a bounded 8-offset explode + cell-equi
+self-join — runs on that vocabulary, never on raw rows. No UDFs, no
+driver traffic beyond the single result row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import cells
+
+STAT_RES = 10  # ~1.1 km cells: dense enough for adjacency structure
+
+
+def _occ_xy(nodes: DataFrame, res: int) -> DataFrame:
+    """Distinct occupied integer cell coordinates (x, y) at ``res``."""
+    s = cells.SIZE_E7[res]
+    return nodes.select(
+        ((F.col("lon_e7").cast("long") + cells.OFF_LON_E7) / s).cast("long").alias("x"),
+        ((F.col("lat_e7").cast("long") + cells.OFF_LAT_E7) / s).cast("long").alias("y"),
+    )
+
+
+def _occ_xy_sql(fix: str, res: int) -> str:
+    s = cells.SIZE_E7[res]
+    return f"""
+  SELECT (CAST(lon_e7 AS BIGINT) + {cells.OFF_LON_E7}) // {s} AS x,
+         (CAST(lat_e7 AS BIGINT) + {cells.OFF_LAT_E7}) // {s} AS y
+  FROM read_parquet('{fix}/osm_nodes.parquet')
+"""
+
+
+def cell_triangles(nodes: DataFrame, res: int = STAT_RES) -> DataFrame:
+    """One row: (n_cells, n_edges, n_wedges, n_triangles, global_cc) of
+    the queen-adjacency graph over occupied res-``res`` cells.
+
+    Plan: corpus -> distinct occupied cells (one partial-agg exchange);
+    edges by 8-offset explode + (x, y) equi-join keeping the
+    lexicographic (x, y) orientation so each undirected edge appears
+    once; triangles close wedges with two more vocabulary-sized
+    equi-joins. Max degree 8 bounds every fan-out.
+    """
+    occ = _occ_xy(nodes, res).distinct().persist()
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr = occ.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+    ).select(
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("x") + F.col("o.dx")).alias("bx"),
+        (F.col("y") + F.col("o.dy")).alias("by"),
+    )
+    edges = (
+        nbr.join(occ, (nbr.bx == occ.x) & (nbr.by == occ.y))
+        .select("ax", "ay", "bx", "by")
+        .filter((F.col("ax") < F.col("bx")) | ((F.col("ax") == F.col("bx")) & (F.col("ay") < F.col("by"))))
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("ax").alias("x"), F.col("ay").alias("y"))
+        .unionByName(edges.select(F.col("bx").alias("x"), F.col("by").alias("y")))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = edges
+    e2 = edges.select(
+        F.col("ax").alias("c2ax"), F.col("ay").alias("c2ay"),
+        F.col("bx").alias("c2bx"), F.col("by").alias("c2by"),
+    )
+    e3 = edges.select(
+        F.col("ax").alias("c3ax"), F.col("ay").alias("c3ay"),
+        F.col("bx").alias("c3bx"), F.col("by").alias("c3by"),
+    )
+    tri = (
+        e1.join(e2, (F.col("c2ax") == e1.bx) & (F.col("c2ay") == e1.by))
+        .join(
+            e3,
+            (F.col("c3ax") == e1.ax)
+            & (F.col("c3ay") == e1.ay)
+            & (F.col("c3bx") == F.col("c2bx"))
+            & (F.col("c3by") == F.col("c2by")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = occ.agg(F.count(F.lit(1)).alias("n_cells")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ).crossJoin(
+        deg.agg(F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"))
+    ).crossJoin(tri)
+    out = counts.select(
+        "n_cells",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges").cast("double"), 6
+        ).alias("global_cc"),
+    )
+    from .dedup import eager_release
+
+    return eager_release(out, [occ, edges])
+
+
+def cell_triangles_oracle_sql(fix: str, res: int = STAT_RES) -> str:
+    return f"""
+WITH occ AS (SELECT DISTINCT x, y FROM ({_occ_xy_sql(fix, res)})),
+edges AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM occ a JOIN occ b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+),
+deg AS (
+  SELECT x, y, count(*) AS deg FROM (
+    SELECT ax AS x, ay AS y FROM edges
+    UNION ALL
+    SELECT bx, by FROM edges
+  ) GROUP BY x, y
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.ax = e1.bx AND e2.ay = e1.by
+  JOIN edges e3 ON e3.ax = e1.ax AND e3.ay = e1.ay AND e3.bx = e2.bx AND e3.by = e2.by
+)
+SELECT (SELECT count(*) FROM occ) AS n_cells,
+       (SELECT count(*) FROM edges) AS n_edges,
+       CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+       n_triangles,
+       round(3.0 * CAST(n_triangles AS DOUBLE)
+             / CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS DOUBLE), 6) AS global_cc
+FROM tri
+"""
+
+
+def morans_i(nodes: DataFrame, res: int = STAT_RES) -> DataFrame:
+    """One row: (n_cells, w_sum, morans_i) — Moran's I of per-cell node
+    counts under rook adjacency over occupied cells (see module doc for
+    the exact-integer expansion)."""
+    cnt = _occ_xy(nodes, res).groupBy("x", "y").agg(F.count(F.lit(1)).alias("v")).persist()
+    rook = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    nbr = cnt.select(
+        "x",
+        "y",
+        "v",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in rook])
+        ).alias("o"),
+    ).select(
+        F.col("v").alias("vi"),
+        (F.col("x") + F.col("o.dx")).alias("bx"),
+        (F.col("y") + F.col("o.dy")).alias("by"),
+    )
+    adj = nbr.join(cnt, (nbr.bx == cnt.x) & (nbr.by == cnt.y)).select(
+        F.col("vi"), F.col("v").alias("vj")
+    )
+    per_cell = cnt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.expr("sum(v * v)").alias("d2"),
+    )
+    per_pair = adj.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.expr("sum(vi * vj)").alias("p"),
+        F.expr("sum(vi + vj)").alias("q"),
+    )
+    # one-row combine in DECIMAL(38,0): n^2 * P etc. exceed BIGINT at sf4
+    out = per_cell.crossJoin(per_pair).selectExpr(
+        "n AS n_cells",
+        "w AS w_sum",
+        """round(
+             CAST(n AS DOUBLE) *
+             CAST(CAST(n AS DECIMAL(18,0)) * n * p - CAST(n AS DECIMAL(18,0)) * s * q
+                  + CAST(s AS DECIMAL(18,0)) * s * w AS DOUBLE)
+             / (CAST(w AS DOUBLE) *
+                CAST(CAST(n AS DECIMAL(18,0)) * n * d2 - CAST(n AS DECIMAL(18,0)) * s * s AS DOUBLE)),
+           6) AS morans_i""",
+    )
+    from .dedup import eager_release
+
+    return eager_release(out, [cnt])
+
+
+def morans_i_oracle_sql(fix: str, res: int = STAT_RES) -> str:
+    return f"""
+WITH cnt AS (
+  SELECT x, y, count(*) AS v FROM ({_occ_xy_sql(fix, res)}) GROUP BY x, y
+),
+adj AS (
+  SELECT a.v AS vi, b.v AS vj
+  FROM cnt a JOIN cnt b
+    ON (abs(a.x - b.x) + abs(a.y - b.y)) = 1
+),
+per_cell AS (
+  SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS d2 FROM cnt
+),
+per_pair AS (
+  SELECT count(*) AS w, sum(CAST(vi AS BIGINT) * vj) AS p, sum(CAST(vi AS BIGINT) + vj) AS q FROM adj
+)
+SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
+       round(
+         CAST(n AS DOUBLE) *
+         CAST(CAST(CAST(n AS HUGEINT) * n * p - CAST(n AS HUGEINT) * s * q
+                   + CAST(s AS HUGEINT) * s * w AS VARCHAR) AS DOUBLE)
+         / (CAST(w AS DOUBLE) *
+            CAST(CAST(CAST(n AS HUGEINT) * n * d2 - CAST(n AS HUGEINT) * s * s AS VARCHAR) AS DOUBLE)),
+       6) AS morans_i
+FROM per_cell, per_pair
+"""

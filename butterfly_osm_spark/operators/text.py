@@ -766,3 +766,113 @@ WITH tf AS (
 SELECT doc_id, CAST(rank AS INT) AS rank, term, CAST(tf AS BIGINT) AS tf, score_micro
 FROM scored WHERE rank <= {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: corpus-level bigram association mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_PAIR = 5
+
+
+def pmi_collocations(documents: DataFrame, min_pair: int = PMI_MIN_PAIR) -> DataFrame:
+    """(w1, w2, pair_cnt, pmi_micro, pmi): pointwise mutual information
+    ln(p(w1 w2) / (p(w1) p(w2))) for every adjacent bigram occurring at
+    least ``min_pair`` times — the standard collocation / multi-word-
+    expression miner a tokenizer-training pipeline runs next to
+    ``bpe_pair_counts`` (word-level instead of character-level).
+
+    Scale shape (100 TB): the corpus is touched by exactly TWO tokenize
+    passes (unigram counts; adjacent-bigram counts via a JVM
+    transform(sequence(...)) — zero Python), both partial-aggregated so
+    the exchanges are vocabulary-sized. Everything downstream — the two
+    unigram joins and the one-row totals crossJoin — runs on the
+    min_pair-pruned pair VOCABULARY. The row set is decided by an exact
+    integer filter (pair_cnt >= min_pair), so float noise cannot change
+    cardinality; PMI itself is quantised once to integer micro-nats
+    (the unigram_logprob discipline) with the arithmetic written as the
+    textually identical expression in both engines.
+
+    Docs shorter than 2 tokens contribute no bigrams; the Spark side
+    must filter size >= 2 explicitly because sequence(0, -1) DESCENDS
+    (the doc_repetition empty-range fence, text.py above).
+    """
+    toks = documents.select(F.split(F.trim("text"), " ").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    pairs = (
+        toks.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))")
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_pair)
+    )
+    totals = uni.agg(F.sum("cnt").alias("t_total")).crossJoin(
+        toks.select((F.greatest(F.size("ws") - 1, F.lit(0))).alias("nb")).agg(
+            F.sum("nb").alias("b_total")
+        )
+    )
+    ca = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("ca_cnt"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cb_cnt"))
+    out = (
+        pairs.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(totals)
+        .selectExpr(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "CAST(round(ln((CAST(pair_cnt AS DOUBLE) * t_total * t_total)"
+            " / (CAST(b_total AS DOUBLE) * ca_cnt * cb_cnt)) * 1000000, 0) AS BIGINT)"
+            " AS pmi_micro",
+            "round(CAST(CAST(round(ln((CAST(pair_cnt AS DOUBLE) * t_total * t_total)"
+            " / (CAST(b_total AS DOUBLE) * ca_cnt * cb_cnt)) * 1000000, 0) AS BIGINT)"
+            " AS DOUBLE) / 1000000, 6) AS pmi",
+        )
+    )
+    from .dedup import eager_release
+
+    return eager_release(out, [uni])
+
+
+def pmi_collocations_oracle_sql(min_pair: int = PMI_MIN_PAIR) -> str:
+    """Identical relational recompute; totals cast to BIGINT before any
+    double arithmetic (DuckDB sum(BIGINT) is HUGEINT, whose direct
+    DOUBLE cast truncates — the polygon_metrics lesson)."""
+    return f"""
+WITH t AS (
+  SELECT string_split(trim(text), ' ') AS ws FROM documents
+), uni AS (
+  SELECT w, count(*) AS cnt FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w
+), b AS (
+  SELECT unnest(list_transform(range(1, len(ws)),
+                               i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS s
+  FROM t
+), pairs AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS pair_cnt
+  FROM b GROUP BY 1, 2 HAVING count(*) >= {min_pair}
+), totals AS (
+  SELECT CAST((SELECT sum(cnt) FROM uni) AS BIGINT) AS t_total,
+         CAST((SELECT sum(greatest(len(ws) - 1, 0)) FROM t) AS BIGINT) AS b_total
+)
+SELECT p.w1, p.w2, p.pair_cnt,
+       CAST(round(ln((CAST(p.pair_cnt AS DOUBLE) * t_total * t_total)
+            / (CAST(b_total AS DOUBLE) * ca.cnt * cb.cnt)) * 1000000, 0) AS BIGINT)
+         AS pmi_micro,
+       round(CAST(CAST(round(ln((CAST(p.pair_cnt AS DOUBLE) * t_total * t_total)
+            / (CAST(b_total AS DOUBLE) * ca.cnt * cb.cnt)) * 1000000, 0) AS BIGINT)
+            AS DOUBLE) / 1000000, 6) AS pmi
+FROM pairs p
+JOIN uni ca ON ca.w = p.w1
+JOIN uni cb ON cb.w = p.w2
+CROSS JOIN totals
+"""

@@ -1485,6 +1485,91 @@ def sql_line_simplify(sf: str = ORACLE_SF) -> str:
     return line_simplify_oracle_sql(_oracle_fix(sf))
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the road graph (round 5d): 5 power-iteration rounds
+    of exact BIGINT fixed-point arithmetic (1e12 units, damping 0.85),
+    one node-keyed join + one node-keyed sum per round, per-round
+    localCheckpoint with immediate superseded-round release."""
+    from .operators.graph import pagerank
+
+    fix = _fix(sf_dir)
+    return pagerank(
+        build_edges(
+            _read(spark, fix, "osm_ways"),
+            _read(spark, fix, "way_nodes"),
+            _read(spark, fix, "osm_nodes"),
+        )
+    )
+
+
+def sql_pagerank(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(edges_oracle_sql(_oracle_fix(sf)))
+
+
+def q_cell_triangles(spark, sf_dir):
+    """Triangle census + global clustering coefficient of the occupied-cell
+    queen-adjacency graph (round 5d): corpus reduced to the cell vocabulary
+    once; all joins bounded by the grid's max degree 8."""
+    from .operators.spatial_stats import cell_triangles
+
+    return cell_triangles(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_cell_triangles(sf: str = ORACLE_SF) -> str:
+    from .operators.spatial_stats import cell_triangles_oracle_sql
+
+    return cell_triangles_oracle_sql(_oracle_fix(sf))
+
+
+def q_morans_i(spark, sf_dir):
+    """Moran's I spatial autocorrelation of per-cell node density under
+    rook adjacency (round 5d): exact-BIGINT aggregate expansion, one-row
+    DECIMAL(38,0) combine — no float summation anywhere."""
+    from .operators.spatial_stats import morans_i
+
+    return morans_i(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_morans_i(sf: str = ORACLE_SF) -> str:
+    from .operators.spatial_stats import morans_i_oracle_sql
+
+    return morans_i_oracle_sql(_oracle_fix(sf))
+
+
+def q_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining over the corpus (round 5d): two tokenize
+    passes (unigram + JVM-bigram counts), vocabulary-sized tail; row set
+    pinned by an exact integer count filter, PMI quantised to micro-nats
+    (the unigram_logprob cross-engine float discipline)."""
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(_docs(spark, sf_dir))
+
+
+def sql_pmi_collocations(sf: str = ORACLE_SF) -> str:
+    from .operators.text import pmi_collocations_oracle_sql
+
+    return pmi_collocations_oracle_sql()
+
+
+def q_skyline_images(spark, sf_dir):
+    """Resolution skyline / pareto frontier (round 5d): corpus reduced to
+    distinct-width vocabulary, running-max window on that vocabulary only,
+    broadcast join back; oracle recomputes dominance independently via
+    NOT EXISTS."""
+    from .operators.images import skyline_images
+
+    return skyline_images(_read(spark, _fix(sf_dir), "images"))
+
+
+def sql_skyline_images(sf: str = ORACLE_SF) -> str:
+    from .operators.images import skyline_images_oracle_sql
+
+    return skyline_images_oracle_sql(_oracle_fix(sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1551,6 +1636,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ping_speed": q_ping_speed,
     "isochrone_ms": q_isochrone_ms,
     "line_simplify": q_line_simplify,
+    "pagerank": q_pagerank,
+    "cell_triangles": q_cell_triangles,
+    "morans_i": q_morans_i,
+    "pmi_collocations": q_pmi_collocations,
+    "skyline_images": q_skyline_images,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1654,6 +1744,11 @@ ORACLES: dict[str, Callable[..., str]] = {
     "ping_speed": sql_ping_speed,
     "isochrone_ms": sql_isochrone_ms,
     "line_simplify": sql_line_simplify,
+    "pagerank": sql_pagerank,
+    "cell_triangles": sql_cell_triangles,
+    "morans_i": sql_morans_i,
+    "pmi_collocations": sql_pmi_collocations,
+    "skyline_images": sql_skyline_images,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,
