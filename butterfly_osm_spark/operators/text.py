@@ -804,7 +804,7 @@ def pmi_collocations(documents: DataFrame, min_pair: int = PMI_MIN_PAIR) -> Data
         .agg(F.count(F.lit(1)).alias("cnt"))
         .persist()
     )
-    pairs = (
+    pairs_all = (
         toks.filter(F.size("ws") >= 2)
         .select(
             F.explode(
@@ -814,12 +814,13 @@ def pmi_collocations(documents: DataFrame, min_pair: int = PMI_MIN_PAIR) -> Data
         .select("b.w1", "b.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= min_pair)
+        .persist()
     )
+    pairs = pairs_all.filter(F.col("pair_cnt") >= min_pair)
+    # b_total folds out of the unfiltered pair vocabulary — the corpus is
+    # NOT scanned a third time for it.
     totals = uni.agg(F.sum("cnt").alias("t_total")).crossJoin(
-        toks.select((F.greatest(F.size("ws") - 1, F.lit(0))).alias("nb")).agg(
-            F.sum("nb").alias("b_total")
-        )
+        pairs_all.agg(F.sum("pair_cnt").alias("b_total"))
     )
     ca = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("ca_cnt"))
     cb = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cb_cnt"))
@@ -841,7 +842,7 @@ def pmi_collocations(documents: DataFrame, min_pair: int = PMI_MIN_PAIR) -> Data
     )
     from .dedup import eager_release
 
-    return eager_release(out, [uni])
+    return eager_release(out, [uni, pairs_all])
 
 
 def pmi_collocations_oracle_sql(min_pair: int = PMI_MIN_PAIR) -> str:
