@@ -337,3 +337,285 @@ SELECT node_id, pr_fp, round(CAST(pr_fp AS DOUBLE) / {PR_SCALE}, 6) AS pagerank
 FROM r{iters}
 """
     )
+
+# ---------------------------------------------------------------------------
+# k-core peel: iterative dead-end trimming (routing-graph preprocessing)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 8
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """(node_id, peel_round): iterative degree-<k peeling of the
+    undirected road graph — round r removes every vertex whose degree in
+    the surviving graph is < ``k`` (and its incident edges); vertices
+    still standing after ``rounds`` rounds are the k-core
+    (``peel_round = 0``). For k=2 this is exactly the dead-end/antenna
+    chain trimming a routing preprocessor applies before hierarchy
+    construction (the reference contracts degree-1 chains during graph
+    simplification — route/src/nbg graph build; SURVEY §2.3 notes):
+    peel_round tells how deep each vertex sits in an antenna.
+
+    Determinism: membership-only logic (degree thresholds on exact
+    integer counts) — no floats, no ordering sensitivity. The DuckDB
+    oracle unrolls the identical ``rounds`` rounds as a CTE chain.
+
+    A vertex can drop to degree 0 without ever having been weak (all
+    its neighbours peel in one round: a 2-leaf star's centre), so the
+    SURVIVING VERTEX SET is tracked explicitly and weakness is judged
+    as ``coalesce(deg, 0) < k`` over it — vanished-from-the-edge-set
+    vertices peel the following round rather than masquerading as core.
+
+    Scale shape: each round is one degree aggregate, one vertex-keyed
+    left join and two node-keyed anti-joins over the SURVIVING sets
+    (monotonically shrinking); both working tables are
+    localCheckpoint-ed per round with immediate release of the
+    superseded round (the CC-loop discipline — the round body
+    references its own output three times, exactly the cell_compact
+    lesson). Fixed ``rounds`` bounds the loop regardless of graph
+    size; driver traffic is one scalar count per round.
+
+    Returns one persisted O(|V|) frame; caller releases it.
+    """
+    und = (
+        edges.select(
+            F.least("u_node", "v_node").alias("a"), F.greatest("u_node", "v_node").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = und.localCheckpoint(eager=True)
+    all_verts = (
+        cur.select(F.col("a").alias("node_id"))
+        .unionByName(cur.select(F.col("b").alias("node_id")))
+        .distinct()
+        .persist()
+    )
+    all_verts.count()
+    vset = all_verts.localCheckpoint(eager=True)
+    peel_frames: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("a").alias("node_id"))
+            .unionByName(cur.select(F.col("b").alias("node_id")))
+            .groupBy("node_id")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        weak = (
+            vset.join(deg, "node_id", "left")
+            .filter(F.coalesce("deg", F.lit(0)) < k)
+            .select("node_id", F.lit(r).cast("int").alias("peel_round"))
+            .localCheckpoint(eager=True)
+        )
+        if weak.count() == 0:
+            release_checkpoint(weak)
+            break
+        peel_frames.append(weak)
+        wk = weak.select("node_id")
+        new_vset = vset.join(wk, "node_id", "left_anti").localCheckpoint(eager=True)
+        nxt = (
+            cur.join(wk.withColumnRenamed("node_id", "a"), "a", "left_anti")
+            .join(wk.withColumnRenamed("node_id", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(cur)
+        release_checkpoint(vset)
+        cur, vset = nxt, new_vset
+    peeled = None
+    for f in peel_frames:
+        peeled = f if peeled is None else peeled.unionByName(f)
+    if peeled is None:
+        out = all_verts.select("node_id", F.lit(0).cast("int").alias("peel_round"))
+    else:
+        out = all_verts.join(peeled, "node_id", "left").select(
+            "node_id", F.coalesce("peel_round", F.lit(0)).cast("int").alias("peel_round")
+        )
+    from .dedup import eager_release
+
+    res = eager_release(out, [all_verts])
+    release_checkpoint(cur)
+    release_checkpoint(vset)
+    for f in peel_frames:
+        release_checkpoint(f)
+    return res
+
+
+def kcore_peel_oracle_sql(edges_sql: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    """Unrolled per-round CTE chain replaying the identical peel."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        """adj0 AS MATERIALIZED (
+  SELECT DISTINCT least(u_node, v_node) AS a, greatest(u_node, v_node) AS b
+  FROM e WHERE u_node <> v_node
+)""",
+    ]
+    parts.append(
+        "verts0 AS MATERIALIZED "
+        "(SELECT DISTINCT a AS node_id FROM adj0 UNION SELECT DISTINCT b FROM adj0)"
+    )
+    peel_union = []
+    for r in range(1, rounds + 1):
+        p, c, v, nc, nv = f"peel{r}", f"adj{r - 1}", f"verts{r - 1}", f"adj{r}", f"verts{r}"
+        parts.append(
+            f"""{p} AS MATERIALIZED (
+  SELECT {v}.node_id FROM {v}
+  LEFT JOIN (
+    SELECT n AS node_id, count(*) AS deg FROM (
+      SELECT a AS n FROM {c} UNION ALL SELECT b FROM {c}
+    ) GROUP BY n
+  ) d USING (node_id)
+  WHERE coalesce(d.deg, 0) < {k}
+)"""
+        )
+        parts.append(
+            f"""{nv} AS MATERIALIZED (
+  SELECT node_id FROM {v} WHERE node_id NOT IN (SELECT node_id FROM {p})
+)"""
+        )
+        parts.append(
+            f"""{nc} AS MATERIALIZED (
+  SELECT a, b FROM {c}
+  WHERE a NOT IN (SELECT node_id FROM {p})
+    AND b NOT IN (SELECT node_id FROM {p})
+)"""
+        )
+        peel_union.append(f"SELECT node_id, {r} AS peel_round FROM {p}")
+    peels = " UNION ALL ".join(peel_union)
+    return f"""{", ".join(parts)},
+peeled AS (SELECT node_id, min(peel_round) AS peel_round FROM ({peels}) GROUP BY node_id)
+SELECT v.node_id, CAST(coalesce(p.peel_round, 0) AS INT) AS peel_round
+FROM verts0 v LEFT JOIN peeled p USING (node_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# many-to-many drive-time matrix (the reference's headline product shape)
+# ---------------------------------------------------------------------------
+
+MTX_SRC_MOD = 397
+MTX_BUDGET_MS = 600_000  # 10-minute drive-time horizon per source
+
+
+def time_matrix(
+    edges: DataFrame,
+    way_attrs: DataFrame,
+    src_mod: int = MTX_SRC_MOD,
+    budget_ms: int = MTX_BUDGET_MS,
+    max_iters: int = 40,
+) -> DataFrame:
+    """(src, dst, time_ms): exact minimum car travel time from every
+    source vertex (node_id % src_mod == 0) to every vertex reachable
+    within ``budget_ms`` — the distributed analog of the reference's
+    many-to-many matrix endpoint (route/src/matrix; README's headline
+    'matrix cells/s'). Full CCH is out of graft scope; the semantics are
+    :func:`isochrone_ms`'s label-correcting relaxation with the state
+    keyed by (src, node) instead of node, so all sources relax in the
+    SAME per-round shuffle — one job answers the whole matrix, which is
+    exactly why the reference batches matrix queries instead of running
+    one Dijkstra per cell.
+
+    Determinism: integer ms weights (round(length_mm * 3.6 / kmh) — one
+    IEEE expression, identical in DuckDB), min-merge per (src, dst).
+    Scale shape: per round ONE (node-keyed) frontier x adjacency join +
+    one (src, node) min-merge; only IMPROVED labels re-enter; positive
+    weights + the budget prune terminate the loop. Checkpoint hygiene
+    identical to bfs_hops/isochrone_ms. The budget bounds output to
+    O(sources x horizon); an unbounded matrix would instead shard the
+    source set (the reference's own batching strategy).
+
+    Returns one persisted frame; caller releases it.
+    """
+    wa = way_attrs.select("way_id", "speed_car_kmh", "access_car", "oneway").filter(
+        F.col("access_car")
+    )
+    ew = edges.join(wa, "way_id").select(
+        "u_node",
+        "v_node",
+        "oneway",
+        F.round(F.col("length_mm") * 3.6 / F.col("speed_car_kmh")).cast("long").alias("w"),
+    )
+    fwd = ew.select(F.col("u_node").alias("s"), F.col("v_node").alias("d"), "w")
+    bwd = ew.filter(~F.col("oneway")).select(
+        F.col("v_node").alias("s"), F.col("u_node").alias("d"), "w"
+    )
+    adj = fwd.unionByName(bwd).persist()
+    dist = (
+        adj.select(F.col("s").alias("node_id"))
+        .distinct()
+        .filter(F.col("node_id") % src_mod == 0)
+        .select(F.col("node_id").alias("src"), "node_id", F.lit(0).cast("long").alias("time_ms"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    iters = 0
+    while True:
+        iters += 1
+        if iters > max_iters:
+            raise RuntimeError(f"time_matrix did not converge in {max_iters} rounds")
+        cand = (
+            frontier.join(adj, frontier.node_id == adj.s)
+            .select("src", F.col("d").alias("node_id"), (F.col("time_ms") + F.col("w")).alias("t"))
+            .filter(F.col("t") <= budget_ms)
+            .groupBy("src", "node_id")
+            .agg(F.min("t").alias("t"))
+        )
+        improved = (
+            cand.join(
+                dist.select("src", "node_id", F.col("time_ms").alias("t_old")),
+                ["src", "node_id"],
+                "left",
+            )
+            .where(F.col("t_old").isNull() | (F.col("t") < F.col("t_old")))
+            .select("src", "node_id", F.col("t").alias("time_ms"))
+            .localCheckpoint(eager=True)
+        )
+        n_improved = improved.count()
+        if frontier is not dist:
+            release_checkpoint(frontier)
+        if n_improved == 0:
+            release_checkpoint(improved)
+            break
+        new_dist = (
+            dist.unionByName(improved)
+            .groupBy("src", "node_id")
+            .agg(F.min("time_ms").alias("time_ms"))
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(dist)
+        dist, frontier = new_dist, improved
+    adj.unpersist()
+    out = dist.select("src", F.col("node_id").alias("dst"), "time_ms").persist()
+    out.count()
+    release_checkpoint(dist)
+    return out
+
+
+def time_matrix_oracle_sql(
+    edges_sql: str,
+    way_attrs_sql: str,
+    src_mod: int = MTX_SRC_MOD,
+    budget_ms: int = MTX_BUDGET_MS,
+) -> str:
+    """Budget-bounded recursive-CTE replay keyed by (src, node)."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+wa AS ({way_attrs_sql}),
+dir AS (
+  SELECT u_node AS s, v_node AS d,
+         CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT) AS w
+  FROM e JOIN wa USING (way_id) WHERE access_car
+  UNION ALL
+  SELECT v_node, u_node, CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT)
+  FROM e JOIN wa USING (way_id) WHERE access_car AND NOT oneway
+),
+walk(src, node_id, t) AS (
+  SELECT DISTINCT s AS src, s AS node_id, CAST(0 AS BIGINT) AS t
+  FROM dir WHERE s % {src_mod} = 0
+  UNION
+  SELECT walk.src, dir.d, walk.t + dir.w FROM walk JOIN dir ON dir.s = walk.node_id
+  WHERE walk.t + dir.w <= {budget_ms}
+)
+SELECT src, node_id AS dst, min(t) AS time_ms FROM walk GROUP BY src, node_id
+"""

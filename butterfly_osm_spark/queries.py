@@ -1570,6 +1570,54 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_kcore_peel(spark, sf_dir):
+    """k-core peel / dead-end trimming (round 5e): iterative degree-<2
+    removal over the undirected road graph with an explicit surviving
+    vertex set — bounded rounds, per-round lineage cuts; peel_round is
+    the antenna depth a routing preprocessor contracts away."""
+    from .operators.graph import kcore_peel
+
+    fix = _fix(sf_dir)
+    return kcore_peel(
+        build_edges(
+            _read(spark, fix, "osm_ways"),
+            _read(spark, fix, "way_nodes"),
+            _read(spark, fix, "osm_nodes"),
+        )
+    )
+
+
+def sql_kcore_peel(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import kcore_peel_oracle_sql
+
+    return kcore_peel_oracle_sql(edges_oracle_sql(_oracle_fix(sf)))
+
+
+def q_time_matrix(spark, sf_dir):
+    """Many-to-many drive-time matrix (round 5e): all sources relax in
+    the same per-round (src, node)-keyed label-correcting shuffle with a
+    10-minute budget prune — the reference's batched matrix endpoint
+    semantics over exact integer ms weights."""
+    from .operators.graph import time_matrix
+
+    fix = _fix(sf_dir)
+    ways = _read(spark, fix, "osm_ways")
+    return time_matrix(
+        build_edges(ways, _read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes")),
+        compile_way_attrs(ways),
+    )
+
+
+def sql_time_matrix(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import time_matrix_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return time_matrix_oracle_sql(
+        edges_oracle_sql(fix),
+        way_attrs_oracle_sql(f"{fix}/way_tags.parquet", f"{fix}/osm_ways.parquet"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1641,6 +1689,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "morans_i": q_morans_i,
     "pmi_collocations": q_pmi_collocations,
     "skyline_images": q_skyline_images,
+    "kcore_peel": q_kcore_peel,
+    "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
     "zonal_stats": q_zonal_stats,
     "wkb_sink": q_wkb_sink,
@@ -1749,6 +1799,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "morans_i": sql_morans_i,
     "pmi_collocations": sql_pmi_collocations,
     "skyline_images": sql_skyline_images,
+    "kcore_peel": sql_kcore_peel,
+    "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
     "zonal_stats": sql_zonal_stats,
     "wkb_sink": sql_wkb_sink,

@@ -678,3 +678,65 @@ def test_line_simplify_dp_contract(spark, fix001):
                 assert d2 <= SIMPLIFY_TOL_E7**2 + 1e-6, (way_id, s, d2)
                 dropped_total += 1
     assert dropped_total > 100  # the tolerance actually thins the chains
+
+
+def test_kcore_peel_star_and_release(spark, fix001):
+    """kcore_peel: the 2-leaf star pins the vanished-vertex semantics —
+    leaves peel round 1 (degree 1), the centre drops to degree 0 and
+    must peel round 2, NOT masquerade as core; a 4-cycle is 2-core
+    (peel_round 0); caching contract: one persisted result, zero
+    survivors after release."""
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.graph import kcore_peel
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    # star: 10-(11), 10-(12); square: 1-2-3-4-1; antenna off the square: 4-20
+    pairs = [(10, 11), (10, 12), (1, 2), (2, 3), (3, 4), (4, 1), (4, 20)]
+    edges = spark.createDataFrame(
+        [(u, v) for u, v in pairs], "u_node long, v_node long"
+    )
+    out = kcore_peel(edges)
+    got = {r.node_id: r.peel_round for r in out.collect()}
+    assert got == {11: 1, 12: 1, 10: 2, 20: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+    assert sc.getPersistentRDDs().size() - before <= 1
+    out.unpersist()
+    release_checkpoint(out)
+    assert sc.getPersistentRDDs().size() == before, "kcore_peel leaked caches"
+
+
+def test_time_matrix_invariants_and_release(spark, fix001):
+    """time_matrix: each source reaches itself at 0 ms, all labels within
+    budget, and per-source rows are a superset-consistent restriction of
+    single-source relaxation (matrix row for (s, d) can never beat a
+    direct edge bound); caching contract: zero survivors after release."""
+    from butterfly_osm_spark.functions.model import compile_way_attrs
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.extract import build_edges
+    from butterfly_osm_spark.operators.graph import MTX_BUDGET_MS, MTX_SRC_MOD, time_matrix
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+
+    ways = spark.read.parquet(fix001 + "/osm_ways.parquet")
+    edges = build_edges(
+        ways,
+        spark.read.parquet(fix001 + "/way_nodes.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    )
+    mtx = time_matrix(edges, compile_way_attrs(ways))
+    rows = mtx.collect()
+    assert rows
+    srcs = {r.src for r in rows}
+    assert all(s % MTX_SRC_MOD == 0 for s in srcs)
+    # every source labels itself at 0; no other row is 0
+    assert all((r.src == r.dst) == (r.time_ms == 0) for r in rows)
+    assert all(0 <= r.time_ms <= MTX_BUDGET_MS for r in rows)
+    assert len({(r.src, r.dst) for r in rows}) == len(rows)
+    assert sc.getPersistentRDDs().size() - before <= 1
+    mtx.unpersist()
+    release_checkpoint(mtx)
+    assert sc.getPersistentRDDs().size() == before, "time_matrix leaked caches"
