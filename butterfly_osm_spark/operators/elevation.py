@@ -495,3 +495,107 @@ SELECT polygon_id, count(*) AS n_samples,
 FROM crossings WHERE n % 2 = 1
 GROUP BY polygon_id
 """
+
+
+def dem_slope(raster_tiles: DataFrame) -> DataFrame:
+    """(tile_lat, tile_lon, row, col, dzdx, dzdy, slope): Horn 3x3
+    finite-difference gradient per interior DEM pixel — the terrain
+    derivative layer (slope/aspect/hillshade all derive from these two
+    integers) the reference's elevation stack feeds into route costs
+    (elevation.rs tile sampling; SURVEY §2 R10-R12 ring).
+
+    dzdx/dzdy are EXACT integer Horn sums of the eight i16 neighbours
+    (east-positive / south-positive, row 0 = north edge — the .hgt
+    convention); the only float is the final magnitude
+    ``round(sqrt(dzdx² + dzdy²) / 8, 3)`` (IEEE sqrt is
+    correctly-rounded, so cross-engine exact). Windows touching a VOID
+    sample or a tile border are skipped (nodata discipline; a
+    production run would ghost-exchange 1-pixel halos between
+    neighbouring tiles — at one tile per task the halo is the only
+    cross-task traffic this op would ever need).
+
+    Scale shape: MAP-ONLY — each tile decodes and differentiates inside
+    one Arrow batch; nothing shuffles, no driver traffic. The DuckDB
+    oracle recomputes the identical stencil relationally from the
+    PRE-ENCODE ``raster_cells`` truth (zonal_stats discipline), so a
+    green row differentially verifies the binary decode AND the
+    stencil.
+    """
+    schema = (
+        "tile_lat int, tile_lon int, row int, col int, "
+        "dzdx int, dzdy int, slope double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                side = int(r["samples_per_side"])
+                if side < 3:
+                    continue
+                g = np.frombuffer(r["data"], dtype=">i2").astype(np.int64).reshape(side, side)
+                ok = g != VOID
+
+                def z(dr, dc):
+                    return g[1 + dr : side - 1 + dr, 1 + dc : side - 1 + dc]
+
+                def v(dr, dc):
+                    return ok[1 + dr : side - 1 + dr, 1 + dc : side - 1 + dc]
+
+                allok = np.ones((side - 2, side - 2), dtype=bool)
+                for dr in (-1, 0, 1):
+                    for dc in (-1, 0, 1):
+                        allok &= v(dr, dc)
+                dzdx = (z(-1, 1) + 2 * z(0, 1) + z(1, 1)) - (
+                    z(-1, -1) + 2 * z(0, -1) + z(1, -1)
+                )
+                dzdy = (z(1, -1) + 2 * z(1, 0) + z(1, 1)) - (
+                    z(-1, -1) + 2 * z(-1, 0) + z(-1, 1)
+                )
+                rr, cc = np.nonzero(allok)
+                if len(rr) == 0:
+                    continue
+                gx, gy = dzdx[rr, cc], dzdy[rr, cc]
+                yield pd.DataFrame(
+                    {
+                        "tile_lat": np.full(len(rr), int(r["tile_lat"]), dtype=np.int32),
+                        "tile_lon": np.full(len(rr), int(r["tile_lon"]), dtype=np.int32),
+                        "row": (rr + 1).astype(np.int32),
+                        "col": (cc + 1).astype(np.int32),
+                        "dzdx": gx.astype(np.int32),
+                        "dzdy": gy.astype(np.int32),
+                        "slope": np.round(np.sqrt((gx * gx + gy * gy).astype(np.float64)) / 8.0, 3),
+                    }
+                )
+
+    return raster_tiles.mapInPandas(gen, schema=schema)
+
+
+def dem_slope_oracle_sql(fix: str) -> str:
+    """Independent relational Horn stencil over the raster_cells truth."""
+    return f"""
+WITH c AS (SELECT * FROM read_parquet('{fix}/raster_cells.parquet')),
+t AS (SELECT tile_lat, tile_lon, samples_per_side AS side
+      FROM read_parquet('{fix}/raster_tiles.parquet')),
+win AS (
+  SELECT a.tile_lat, a.tile_lon, a.row, a.col,
+         count(*) AS n_nbr,
+         sum(CASE WHEN b.v = {VOID} THEN 1 ELSE 0 END) AS n_void,
+         sum(b.v * (CASE WHEN b.col = a.col + 1 THEN (CASE WHEN b.row = a.row THEN 2 ELSE 1 END)
+                         WHEN b.col = a.col - 1 THEN -(CASE WHEN b.row = a.row THEN 2 ELSE 1 END)
+                         ELSE 0 END)) AS dzdx,
+         sum(b.v * (CASE WHEN b.row = a.row + 1 THEN (CASE WHEN b.col = a.col THEN 2 ELSE 1 END)
+                         WHEN b.row = a.row - 1 THEN -(CASE WHEN b.col = a.col THEN 2 ELSE 1 END)
+                         ELSE 0 END)) AS dzdy
+  FROM c a
+  JOIN t ON t.tile_lat = a.tile_lat AND t.tile_lon = a.tile_lon
+  JOIN c b ON b.tile_lat = a.tile_lat AND b.tile_lon = a.tile_lon
+          AND b.row BETWEEN a.row - 1 AND a.row + 1
+          AND b.col BETWEEN a.col - 1 AND a.col + 1
+  WHERE a.row BETWEEN 1 AND t.side - 2 AND a.col BETWEEN 1 AND t.side - 2
+  GROUP BY a.tile_lat, a.tile_lon, a.row, a.col
+)
+SELECT tile_lat, tile_lon, CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+       CAST(dzdx AS INT) AS dzdx, CAST(dzdy AS INT) AS dzdy,
+       round(sqrt(CAST(dzdx * dzdx + dzdy * dzdy AS DOUBLE)) / 8, 3) AS slope
+FROM win WHERE n_nbr = 9 AND n_void = 0
+"""

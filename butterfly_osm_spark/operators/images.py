@@ -402,3 +402,104 @@ WHERE NOT EXISTS (
   WHERE b.w >= a.w AND b.h >= a.h AND (b.w > a.w OR b.h > a.h)
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# phash kNN: Hamming-space gallery search (top-k per query image)
+# ---------------------------------------------------------------------------
+
+PHKNN_K = 5
+PHKNN_QMOD = 16  # ~1/16 of images form the deterministic query batch
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+
+def phash_knn(images: DataFrame, k: int = PHKNN_K, qmod: int = PHKNN_QMOD) -> DataFrame:
+    """(query_id, rank, neighbor_id, hamming): exact top-k nearest gallery
+    images per query image under phash Hamming distance — reverse-image
+    gallery search, the Hamming-space sibling of ``cosine_topk_bruteforce``
+    (same production framing: a bounded deterministic QUERY BATCH against
+    the full corpus, the unit a matrix/retrieval service shards by).
+
+    Query batch: images whose md5-derived 60-bit key ≡ 0 (mod ``qmod``) —
+    the sampling.py cross-engine idiom, so DuckDB selects the identical
+    set. Ranking is total-ordered by (hamming, neighbor_id), so top-k is
+    unique under any plan.
+
+    Scale shape (10^12 images): the GALLERY NEVER SHUFFLES — the query
+    batch (|corpus|/qmod × 16 bytes; the kmeans driver-held-model
+    discipline) broadcasts into a mapInPandas partial top-k over each
+    gallery Arrow batch (vectorized uint8-LUT popcount, queries chunked
+    256 at a time to bound the XOR matrix), emitting k rows per query
+    per batch; ONE window exchange then merges the Q x k x n_batches
+    partials. Only (id, phash) project out of the scan — image bytes are
+    never read (ReadSchema-pruned like phash_neardup).
+    """
+    from pyspark.sql import Window
+
+    key = F.conv(F.substring(F.md5(F.col("image_id").cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    ph = images.select("image_id", "phash")
+    queries = [
+        (r.image_id, r.phash) for r in ph.filter(key % qmod == 0).collect()
+    ]
+    q_ids = np.array([q[0] for q in queries])
+    q_ph = np.array([q[1] for q in queries], dtype=np.int64).view(np.uint64)
+
+    schema = "query_id string, neighbor_id string, hamming int"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if len(q_ids) == 0:
+            return
+        for pdf in batches:
+            g_ids = pdf["image_id"].to_numpy(dtype="U")
+            g_ph = pdf["phash"].to_numpy(dtype=np.int64).view(np.uint64)
+            out_q, out_n, out_h = [], [], []
+            for s in range(0, len(q_ids), 256):
+                qc = q_ph[s : s + 256]
+                x = (qc[:, None] ^ g_ph[None, :]).view(np.uint8).reshape(len(qc), -1, 8)
+                ham = _POPCNT8[x].sum(axis=2).astype(np.int32)
+                for i in range(len(qc)):
+                    qid = q_ids[s + i]
+                    mask = g_ids != qid
+                    ids, hs = g_ids[mask], ham[i][mask]
+                    if len(ids) == 0:
+                        continue
+                    order = np.lexsort((ids, hs))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(ids[order])
+                    out_h.extend(hs[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "hamming": np.array(out_h, dtype=np.int32)}
+            )
+
+    part = ph.mapInPandas(partials, schema)
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "hamming")
+    )
+
+
+def phash_knn_oracle_sql(fix: str, k: int = PHKNN_K, qmod: int = PHKNN_QMOD) -> str:
+    """Brute-force oracle: popcount over query x gallery, ranked."""
+    return f"""
+WITH q AS (
+  SELECT image_id, phash FROM read_parquet('{fix}/images.parquet')
+  WHERE CAST('0x' || substr(md5(image_id), 1, 15) AS BIGINT) % {qmod} = 0
+),
+pairs AS (
+  SELECT q.image_id AS query_id, g.image_id AS neighbor_id,
+         CAST(bit_count(xor(q.phash, g.phash)) AS INT) AS hamming
+  FROM q JOIN read_parquet('{fix}/images.parquet') g ON g.image_id <> q.image_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming
+FROM ranked WHERE rank <= {k}
+"""

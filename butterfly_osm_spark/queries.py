@@ -1570,6 +1570,54 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_osm_diff(spark, sf_dir):
+    """Snapshot change detection (round 5e): full-outer id join between
+    snapshot A and the deterministic synthetic snapshot B, classifying
+    added/deleted/modified by geometry signature — the .osc replication
+    model; feeds the changed-cell incremental path (G8)."""
+    from .operators.diff import osm_diff, synth_snapshot_b
+
+    ways = _read(spark, _fix(sf_dir), "osm_ways")
+    return osm_diff(ways, synth_snapshot_b(ways))
+
+
+def sql_osm_diff(sf: str = ORACLE_SF) -> str:
+    from .operators.diff import osm_diff_oracle_sql
+
+    return osm_diff_oracle_sql(_oracle_fix(sf))
+
+
+def q_dem_slope(spark, sf_dir):
+    """Horn 3x3 terrain gradient (round 5e): map-only per-tile stencil,
+    exact integer dzdx/dzdy + one IEEE sqrt; oracle recomputes the
+    stencil relationally from the pre-encode raster_cells truth."""
+    from .operators.elevation import dem_slope
+
+    return dem_slope(_read(spark, _fix(sf_dir), "raster_tiles"))
+
+
+def sql_dem_slope(sf: str = ORACLE_SF) -> str:
+    from .operators.elevation import dem_slope_oracle_sql
+
+    return dem_slope_oracle_sql(_oracle_fix(sf))
+
+
+def q_phash_knn(spark, sf_dir):
+    """Hamming-space gallery search (round 5e): exact top-k per query
+    image by phash popcount — gallery never shuffles (broadcast query
+    batch x mapInPandas partial top-k, one merge window); md5-keyed
+    deterministic query batch (the sampling.py cross-engine idiom)."""
+    from .operators.images import phash_knn
+
+    return phash_knn(_read(spark, _fix(sf_dir), "images"))
+
+
+def sql_phash_knn(sf: str = ORACLE_SF) -> str:
+    from .operators.images import phash_knn_oracle_sql
+
+    return phash_knn_oracle_sql(_oracle_fix(sf))
+
+
 def q_kcore_peel(spark, sf_dir):
     """k-core peel / dead-end trimming (round 5e): iterative degree-<2
     removal over the undirected road graph with an explicit surviving
@@ -1689,6 +1737,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "morans_i": q_morans_i,
     "pmi_collocations": q_pmi_collocations,
     "skyline_images": q_skyline_images,
+    "phash_knn": q_phash_knn,
+    "dem_slope": q_dem_slope,
+    "osm_diff": q_osm_diff,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1799,6 +1850,9 @@ ORACLES: dict[str, Callable[..., str]] = {
     "morans_i": sql_morans_i,
     "pmi_collocations": sql_pmi_collocations,
     "skyline_images": sql_skyline_images,
+    "phash_knn": sql_phash_knn,
+    "dem_slope": sql_dem_slope,
+    "osm_diff": sql_osm_diff,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
