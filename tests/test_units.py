@@ -740,3 +740,71 @@ def test_time_matrix_invariants_and_release(spark, fix001):
     mtx.unpersist()
     release_checkpoint(mtx)
     assert sc.getPersistentRDDs().size() == before, "time_matrix leaked caches"
+
+
+def test_dem_slope_flat_and_ramp(spark):
+    """dem_slope on a synthetic tile: a flat plateau has slope 0
+    everywhere; a pure-east ramp of +1/cell has dzdx = 8, dzdy = 0,
+    slope 1.0; borders and VOID-adjacent windows are absent."""
+    import numpy as np
+
+    from butterfly_osm_spark.operators.elevation import VOID, dem_slope
+
+    side = 6
+    flat = (np.ones((side, side), dtype=">i2") * 100).tobytes()
+    ramp_arr = np.tile(np.arange(side, dtype=">i2"), (side, 1))
+    ramp_arr[0, 0] = VOID  # kills the (1,1) window only
+    ramp = ramp_arr.astype(">i2").tobytes()
+    tiles = spark.createDataFrame(
+        [(0, 0, side, bytearray(flat)), (1, 1, side, bytearray(ramp))],
+        "tile_lat int, tile_lon int, samples_per_side int, data binary",
+    )
+    rows = dem_slope(tiles).collect()
+    flat_rows = [r for r in rows if r.tile_lat == 0]
+    assert len(flat_rows) == (side - 2) ** 2
+    assert all(r.dzdx == 0 and r.dzdy == 0 and r.slope == 0.0 for r in flat_rows)
+    ramp_rows = {(r.row, r.col): r for r in rows if r.tile_lat == 1}
+    assert (1, 1) not in ramp_rows  # VOID neighbour excluded
+    assert len(ramp_rows) == (side - 2) ** 2 - 1
+    assert all(r.dzdx == 8 and r.dzdy == 0 and r.slope == 1.0 for r in ramp_rows.values())
+    # interior only
+    assert all(1 <= r.row <= side - 2 and 1 <= r.col <= side - 2 for r in rows)
+
+
+def test_phash_knn_contract(spark, fix001):
+    """phash_knn: never returns the query itself, ranks are contiguous
+    from 1, per-rank hamming is non-decreasing, and the top-1 neighbour
+    of any exact-duplicate phash has hamming 0."""
+    from butterfly_osm_spark.operators.images import PHKNN_K, phash_knn
+
+    images = spark.read.parquet(fix001 + "/images.parquet")
+    out = phash_knn(images).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r.neighbor_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= PHKNN_K
+        hams = [r.hamming for r in rs]
+        assert hams == sorted(hams)
+
+
+def test_osm_diff_strata(spark, fix001):
+    """osm_diff recovers exactly the synthetic changeset strata: every
+    %13==5 way deleted, %13==7 modified, %13==9 cloned as added under a
+    negative id — and nothing else."""
+    from butterfly_osm_spark.operators.diff import osm_diff, synth_snapshot_b
+
+    ways = spark.read.parquet(fix001 + "/osm_ways.parquet")
+    ids = {r.id for r in ways.select("id").collect()}
+    out = osm_diff(ways, synth_snapshot_b(ways)).collect()
+    got = {(r.way_id, r.status) for r in out}
+    want = (
+        {(i, "deleted") for i in ids if i % 13 == 5}
+        | {(i, "modified") for i in ids if i % 13 == 7}
+        | {(-i, "added") for i in ids if i % 13 == 9}
+    )
+    assert got == want
