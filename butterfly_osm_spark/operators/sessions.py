@@ -455,3 +455,96 @@ SELECT user_id, ts_s, ts_s - t0 AS dt_s,
        CAST(round({hav} * 1000.0 / (ts_s - t0)) AS BIGINT) > {outlier_mms} AS is_outlier
 FROM lagged WHERE t0 IS NOT NULL AND ts_s > t0
 """
+
+
+TRAJ_CELL_E7 = 100_000  # ~1.1 km grid for trajectory signatures
+TRAJ_JACCARD_NUM = 1  # keep pairs with inter/union >= 1/5 ...
+TRAJ_JACCARD_DEN = 5  # ... tested as DEN*inter >= NUM*union (exact ints)
+
+
+def traj_sim_join(
+    pings: DataFrame,
+    cell_e7: int = TRAJ_CELL_E7,
+    num: int = TRAJ_JACCARD_NUM,
+    den: int = TRAJ_JACCARD_DEN,
+) -> DataFrame:
+    """(user_a, user_b, inter, uni, jaccard): trajectory-similarity
+    self-join — user pairs whose DISTINCT-visited-cell sets overlap with
+    Jaccard >= num/den. The mobility sibling of the dedup mandate's
+    n-gram Jaccard: a trajectory's shingle set is the grid cells it
+    visits, and co-travellers / duplicate devices surface as high-
+    overlap pairs (the reference's trace preprocessing dedups repeated
+    uploads of the same drive the same way).
+
+    Scale shape: pings reduce to the per-user DISTINCT cell vocabulary
+    first (one partial-agg exchange; pings themselves never self-join);
+    candidates come from the CELL INVERTED INDEX (co-visited cell
+    equi-join, a.user < b.user), so only geographically co-located
+    pairs are ever scored — geography bounds the candidate fan-out the
+    way LSH bands bound minhash (a pathological single-cell hotspot
+    salts/AQE-splits like every other cell-keyed join here). The
+    threshold is evaluated as ``den*inter >= num*union`` in EXACT
+    integer arithmetic — no float ever decides membership; the jaccard
+    column is a display-only 6 dp division.
+    """
+    cells_df = pings.select(
+        "user_id",
+        F.floor(F.col("lon_e7") / F.lit(float(cell_e7))).alias("cx"),
+        F.floor(F.col("lat_e7") / F.lit(float(cell_e7))).alias("cy"),
+    ).distinct()
+    sizes = cells_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cells_df.alias("a")
+    b = cells_df.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("na")), "user_a")
+        .join(sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("nb")), "user_b")
+        .withColumn("uni", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select(
+            "user_a",
+            "user_b",
+            "inter",
+            "uni",
+            F.round(F.col("inter").cast("double") / F.col("uni").cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def traj_sim_join_oracle_sql(
+    fix: str,
+    cell_e7: int = TRAJ_CELL_E7,
+    num: int = TRAJ_JACCARD_NUM,
+    den: int = TRAJ_JACCARD_DEN,
+) -> str:
+    """Identical signature/inverted-index construction in DuckDB (floor
+    routed through BIGINT — the Spark-floor-vs-DuckDB-floor cast)."""
+    return f"""
+WITH c AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(lon_e7 / {float(cell_e7)}) AS BIGINT) AS cx,
+         CAST(floor(lat_e7 / {float(cell_e7)}) AS BIGINT) AS cy
+  FROM read_parquet('{fix}/pings.parquet')
+),
+sz AS (SELECT user_id, count(*) AS n FROM c GROUP BY user_id),
+i AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS inter
+  FROM c a JOIN c b ON a.cx = b.cx AND a.cy = b.cy AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT user_a, user_b, inter, sa.n + sb.n - inter AS uni,
+       round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM i JOIN sz sa ON sa.user_id = user_a JOIN sz sb ON sb.user_id = user_b
+WHERE {den} * inter >= {num} * (sa.n + sb.n - inter)
+"""

@@ -248,3 +248,83 @@ SELECT CAST(n AS BIGINT) AS n_cells, CAST(w AS BIGINT) AS w_sum,
        6) AS morans_i
 FROM per_cell, per_pair
 """
+
+
+def cell_regions(nodes: DataFrame, res: int = STAT_RES) -> DataFrame:
+    """(x, y, region_id, region_size): connected-component labels of the
+    occupied-cell grid under queen adjacency — landmass/urban-area
+    labeling of the occupancy surface (the global sibling of the raster
+    pipeline's per-region anchored component, R5: that one floods from a
+    seed inside one region; this one labels EVERY region at once).
+
+    region_id is the component's minimum packed cell id (deterministic
+    under any plan); region_size the component's cell count.
+
+    Scale shape: corpus reduces to the occupied-cell vocabulary once
+    (the cell_triangles construction — max queen degree 8 bounds the
+    edge fan-out); components resolve with the SAME distributed CC
+    kernel as dedup_clusters (min-label + pointer jumping, O(log d)
+    rounds, per-round localCheckpoint lineage cuts, scalar-only driver
+    traffic — dedup.py:293). Cell ids pack as x * 2^31 + y (both
+    grid-offset non-negative, well inside BIGINT). The DuckDB oracle
+    replays reachability as the recursive min-label CTE over the same
+    queen edges.
+
+    Returns one persisted vocabulary-sized frame; caller releases it.
+    """
+    from .dedup import connected_components, eager_release
+
+    occ = _occ_xy(nodes, res).distinct().persist()
+    pack = (F.col("x") * F.lit(2_147_483_648) + F.col("y")).alias("id")
+    ids = occ.select(pack)
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr = occ.select(
+        "x",
+        "y",
+        F.explode(
+            F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+        ).alias("o"),
+    ).select(
+        (F.col("x") * F.lit(2_147_483_648) + F.col("y")).alias("src"),
+        ((F.col("x") + F.col("o.dx")) * F.lit(2_147_483_648) + (F.col("y") + F.col("o.dy"))).alias(
+            "dst"
+        ),
+    )
+    edges = nbr.join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi").filter(
+        F.col("src") < F.col("dst")
+    )
+    labels, _ = connected_components(edges, ids)
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("region_size"))
+    out = labels.join(sizes, "lab").select(
+        F.expr("id div 2147483648").alias("x"),
+        (F.col("id") % 2_147_483_648).alias("y"),
+        F.col("lab").alias("region_id"),
+        "region_size",
+    )
+    res_df = eager_release(out, [occ])
+    from .dedup import release_checkpoint
+
+    release_checkpoint(labels)
+    return res_df
+
+
+def cell_regions_oracle_sql(fix: str, res: int = STAT_RES) -> str:
+    return f"""
+WITH RECURSIVE occ AS (SELECT DISTINCT x, y FROM ({_occ_xy_sql(fix, res)})),
+ids AS (SELECT x * 2147483648 + y AS id FROM occ),
+edges AS (
+  SELECT a.x * 2147483648 + a.y AS src, b.x * 2147483648 + b.y AS dst
+  FROM occ a JOIN occ b
+    ON abs(a.x - b.x) <= 1 AND abs(a.y - b.y) <= 1
+   AND (a.x <> b.x OR a.y <> b.y)
+),
+reach(node, lab) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node WHERE r.lab < e.dst
+),
+labs AS (SELECT node AS id, min(lab) AS region_id FROM reach GROUP BY node),
+sz AS (SELECT region_id, count(*) AS region_size FROM labs GROUP BY region_id)
+SELECT id // 2147483648 AS x, id % 2147483648 AS y, region_id, region_size
+FROM labs JOIN sz USING (region_id)
+"""

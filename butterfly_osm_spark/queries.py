@@ -1570,6 +1570,37 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_cell_regions(spark, sf_dir):
+    """Occupied-cell region labeling (round 5e): queen-adjacency CC over
+    the cell vocabulary via the dedup_clusters kernel (min-label +
+    pointer jumping); region_id = component min packed cell id."""
+    from .operators.spatial_stats import cell_regions
+
+    return cell_regions(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_cell_regions(sf: str = ORACLE_SF) -> str:
+    from .operators.spatial_stats import cell_regions_oracle_sql
+
+    return cell_regions_oracle_sql(_oracle_fix(sf))
+
+
+def q_traj_sim_join(spark, sf_dir):
+    """Trajectory-similarity self-join (round 5e): per-user distinct-cell
+    signatures, cell-inverted-index candidates, EXACT integer Jaccard
+    threshold (den*inter >= num*union) — co-traveller / duplicate-device
+    detection, the mobility sibling of ngram_jaccard."""
+    from .operators.sessions import traj_sim_join
+
+    return traj_sim_join(_read(spark, _fix(sf_dir), "pings"))
+
+
+def sql_traj_sim_join(sf: str = ORACLE_SF) -> str:
+    from .operators.sessions import traj_sim_join_oracle_sql
+
+    return traj_sim_join_oracle_sql(_oracle_fix(sf))
+
+
 def q_osm_diff(spark, sf_dir):
     """Snapshot change detection (round 5e): full-outer id join between
     snapshot A and the deterministic synthetic snapshot B, classifying
@@ -1740,6 +1771,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_knn": q_phash_knn,
     "dem_slope": q_dem_slope,
     "osm_diff": q_osm_diff,
+    "traj_sim_join": q_traj_sim_join,
+    "cell_regions": q_cell_regions,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1853,6 +1886,8 @@ ORACLES: dict[str, Callable[..., str]] = {
     "phash_knn": sql_phash_knn,
     "dem_slope": sql_dem_slope,
     "osm_diff": sql_osm_diff,
+    "traj_sim_join": sql_traj_sim_join,
+    "cell_regions": sql_cell_regions,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,

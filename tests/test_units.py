@@ -808,3 +808,70 @@ def test_osm_diff_strata(spark, fix001):
         | {(-i, "added") for i in ids if i % 13 == 9}
     )
     assert got == want
+
+
+def test_traj_sim_join_exact_threshold(spark, fix001):
+    """traj_sim_join: membership decided by exact integers — recompute
+    per-user cell sets driver-side and check every emitted pair passes
+    den*inter >= num*uni and no qualifying pair is missing."""
+    from butterfly_osm_spark.operators.sessions import (
+        TRAJ_CELL_E7,
+        TRAJ_JACCARD_DEN,
+        TRAJ_JACCARD_NUM,
+        traj_sim_join,
+    )
+
+    pings = spark.read.parquet(fix001 + "/pings.parquet")
+    got = {
+        (r.user_a, r.user_b): (r.inter, r.uni)
+        for r in traj_sim_join(pings).collect()
+    }
+    cells = {}
+    for r in pings.collect():
+        # python int // is floor division — matches floor(v / cell) in
+        # both engines (quotients never sit within an ulp of an integer)
+        cells.setdefault(r.user_id, set()).add(
+            (r.lon_e7 // TRAJ_CELL_E7, r.lat_e7 // TRAJ_CELL_E7)
+        )
+    users = sorted(cells)
+    want = {}
+    for i, ua in enumerate(users):
+        for ub in users[i + 1 :]:
+            inter = len(cells[ua] & cells[ub])
+            uni = len(cells[ua] | cells[ub])
+            if inter and TRAJ_JACCARD_DEN * inter >= TRAJ_JACCARD_NUM * uni:
+                want[(ua, ub)] = (inter, uni)
+    assert got == want
+
+
+def test_cell_regions_partition(spark, fix001):
+    """cell_regions: labels form a partition — every occupied cell
+    labeled exactly once, region_size sums to n_cells, every region_id
+    is the min packed id of its members, and two queen-adjacent cells
+    always share a region."""
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.spatial_stats import cell_regions
+
+    sc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    before = sc.getPersistentRDDs().size()
+    nodes = spark.read.parquet(fix001 + "/osm_nodes.parquet")
+    out = cell_regions(nodes)
+    rows = out.collect()
+    assert len({(r.x, r.y) for r in rows}) == len(rows)
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.region_id, []).append(r)
+    for rid, members in by_region.items():
+        assert all(m.region_size == len(members) for m in members)
+        assert rid == min(m.x * 2_147_483_648 + m.y for m in members)
+    cellset = {(r.x, r.y): r.region_id for r in rows}
+    for (x, y), rid in cellset.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) != (0, 0) and (x + dx, y + dy) in cellset:
+                    assert cellset[(x + dx, y + dy)] == rid
+    assert sc.getPersistentRDDs().size() - before <= 1
+    out.unpersist()
+    release_checkpoint(out)
+    assert sc.getPersistentRDDs().size() == before, "cell_regions leaked caches"
