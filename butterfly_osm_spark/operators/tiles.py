@@ -600,3 +600,60 @@ SELECT cell_id,
 FROM {prev}
 """
     return sql
+
+
+def cell_uncompact(
+    nodes: DataFrame, base_res: int = COMPACT_BASE_RES, min_res: int = COMPACT_MIN_RES
+) -> DataFrame:
+    """(cell_id): the base_res leaf expansion of the COMPACTED cover —
+    the H3 ``uncompact`` inverse of :func:`cell_compact`. Registered as
+    the composition uncompact(compact(cover)): its oracle is simply the
+    plain distinct base-res cover recomputed from the corpus, so a green
+    row differentially proves BOTH directions round-trip losslessly
+    (compaction is exactly invertible).
+
+    Scale shape: expansion is MAP-ONLY over the compacted (vocabulary-
+    sized) set — two bounded ``explode(sequence(...))`` fan-outs per
+    cell (max 2^(base_res-min_res) = 8 per axis here, a compile-time
+    constant); children of distinct compacted cells are disjoint by
+    construction, so no distinct/dedup pass is needed after the
+    explode. All arithmetic is the exact integer packing of cells.py.
+    """
+    comp = cell_compact(nodes, base_res, min_res)
+    side = F.expr(f"shiftleft(1L, {base_res} - res)")
+    x = F.col("cell_id").bitwiseAND(F.lit(cells.X_MASK))
+    y = F.shiftright(F.col("cell_id"), cells.Y_SHIFT).bitwiseAND(F.lit(cells.Y_MASK))
+    out = (
+        comp.withColumn("side", side)
+        .withColumn("bx", x * F.col("side"))
+        .withColumn("by", y * F.col("side"))
+        .select(
+            "bx",
+            "by",
+            "side",
+            F.explode(F.sequence(F.lit(0), F.col("side") - 1)).alias("dy"),
+        )
+        .select(
+            "bx",
+            "by",
+            "dy",
+            F.explode(F.sequence(F.lit(0), F.col("side") - 1)).alias("dx"),
+        )
+        .select(
+            (
+                F.lit(base_res << cells.RES_SHIFT)
+                + F.shiftleft(F.col("by") + F.col("dy"), cells.Y_SHIFT)
+                + (F.col("bx") + F.col("dx"))
+            ).alias("cell_id")
+        )
+    )
+    from .dedup import eager_release
+
+    return eager_release(out, [comp])
+
+
+def cell_uncompact_oracle_sql(fix: str, base_res: int = COMPACT_BASE_RES) -> str:
+    """Independent formulation: the plain distinct base-res cover — a
+    green row proves compact→uncompact is lossless."""
+    c = cells.cell_sql("lon_e7", "lat_e7", base_res)
+    return f"SELECT DISTINCT {c} AS cell_id FROM read_parquet('{fix}/osm_nodes.parquet')"

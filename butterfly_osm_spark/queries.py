@@ -1570,6 +1570,21 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_cell_uncompact(spark, sf_dir):
+    """H3-style uncompact (round 5e): map-only leaf expansion of the
+    compacted cover; the oracle is the PLAIN distinct base-res cover, so
+    a green row proves compact -> uncompact round-trips losslessly."""
+    from .operators.tiles import cell_uncompact
+
+    return cell_uncompact(_read(spark, _fix(sf_dir), "osm_nodes"))
+
+
+def sql_cell_uncompact(sf: str = ORACLE_SF) -> str:
+    from .operators.tiles import cell_uncompact_oracle_sql
+
+    return cell_uncompact_oracle_sql(_oracle_fix(sf))
+
+
 def q_cell_regions(spark, sf_dir):
     """Occupied-cell region labeling (round 5e): queen-adjacency CC over
     the cell vocabulary via the dedup_clusters kernel (min-label +
@@ -1773,6 +1788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "osm_diff": q_osm_diff,
     "traj_sim_join": q_traj_sim_join,
     "cell_regions": q_cell_regions,
+    "cell_uncompact": q_cell_uncompact,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1888,6 +1904,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "osm_diff": sql_osm_diff,
     "traj_sim_join": sql_traj_sim_join,
     "cell_regions": sql_cell_regions,
+    "cell_uncompact": sql_cell_uncompact,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
