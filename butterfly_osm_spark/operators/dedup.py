@@ -863,6 +863,49 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 """
 
 
+def simhash_clusters(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_id, cluster_id, is_keeper): transitive closure over the
+    SimHash near-dup pairs — the third cluster-resolution twin beside
+    ``dedup_clusters`` (MinHash) and ``phash_clusters`` (image side),
+    on the same distributed CC kernel. Completes the rule that EVERY
+    pair-emitting near-dup path in the engine also ships its cluster
+    materialization (pairs alone force the user into a driver-side
+    union-find — the classic scale-killer).
+
+    Caching contract: dedup_clusters' — one persisted result, the pair
+    frame and the labels checkpoint released before returning."""
+    pairs_full = simhash_pairs(documents, max_hamming)
+    pairs = pairs_full.select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs, documents.select("doc_id"))
+    out = labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("lab").alias("cluster_id"),
+        (F.col("id") == F.col("lab")).alias("is_keeper"),
+    )
+    return eager_release(out, [pairs_full, labels])
+
+
+def simhash_clusters_oracle_sql(max_hamming: int = 3) -> str:
+    """Recursive min-label reachability over the full relational simhash
+    pair replication (dedup_clusters oracle shape)."""
+    pairs = simhash_oracle_sql(max_hamming).strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+), cedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN cedges e ON e.a = r.node WHERE r.lab < e.b
+)
+SELECT node AS doc_id, min(lab) AS cluster_id, (node = min(lab)) AS is_keeper
+FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # end-to-end corpus materialization (round 4): the keep/drop decision a
 # training run actually consumes, composing quality + repetition + dedup

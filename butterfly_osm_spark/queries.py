@@ -1570,6 +1570,21 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_simhash_clusters(spark, sf_dir):
+    """SimHash cluster resolution (round 5e): the third near-dup family
+    completes its pairs -> clusters materialization on the shared CC
+    kernel (no driver-side union-find)."""
+    from .operators.dedup import simhash_clusters
+
+    return simhash_clusters(_docs(spark, sf_dir))
+
+
+def sql_simhash_clusters(sf: str = ORACLE_SF) -> str:
+    from .operators.dedup import simhash_clusters_oracle_sql
+
+    return simhash_clusters_oracle_sql()
+
+
 def q_cell_uncompact(spark, sf_dir):
     """H3-style uncompact (round 5e): map-only leaf expansion of the
     compacted cover; the oracle is the PLAIN distinct base-res cover, so
@@ -1789,6 +1804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "traj_sim_join": q_traj_sim_join,
     "cell_regions": q_cell_regions,
     "cell_uncompact": q_cell_uncompact,
+    "simhash_clusters": q_simhash_clusters,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1905,6 +1921,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "traj_sim_join": sql_traj_sim_join,
     "cell_regions": sql_cell_regions,
     "cell_uncompact": sql_cell_uncompact,
+    "simhash_clusters": sql_simhash_clusters,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
