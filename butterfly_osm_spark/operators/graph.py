@@ -527,6 +527,18 @@ def time_matrix(
 
     Returns one persisted frame; caller releases it.
     """
+    adj = _car_adjacency(edges, way_attrs)
+    dist = _relax_from_sources(adj, src_mod, budget_ms, max_iters)
+    adj.unpersist()
+    out = dist.select("src", F.col("node_id").alias("dst"), "time_ms").persist()
+    out.count()
+    release_checkpoint(dist)
+    return out
+
+
+def _car_adjacency(edges: DataFrame, way_attrs: DataFrame) -> DataFrame:
+    """PERSISTED directed weighted car arcs (s, d, w ms) — caller
+    unpersists."""
     wa = way_attrs.select("way_id", "speed_car_kmh", "access_car", "oneway").filter(
         F.col("access_car")
     )
@@ -540,7 +552,15 @@ def time_matrix(
     bwd = ew.filter(~F.col("oneway")).select(
         F.col("v_node").alias("s"), F.col("u_node").alias("d"), "w"
     )
-    adj = fwd.unionByName(bwd).persist()
+    return fwd.unionByName(bwd).persist()
+
+
+def _relax_from_sources(
+    adj: DataFrame, src_mod: int, budget_ms: int, max_iters: int
+) -> DataFrame:
+    """Label-correcting relaxation keyed by (src, node); returns the
+    converged CHECKPOINTED dist table (src, node_id, time_ms) — caller
+    release_checkpoints it."""
     dist = (
         adj.select(F.col("s").alias("node_id"))
         .distinct()
@@ -553,7 +573,7 @@ def time_matrix(
     while True:
         iters += 1
         if iters > max_iters:
-            raise RuntimeError(f"time_matrix did not converge in {max_iters} rounds")
+            raise RuntimeError(f"relaxation did not converge in {max_iters} rounds")
         cand = (
             frontier.join(adj, frontier.node_id == adj.s)
             .select("src", F.col("d").alias("node_id"), (F.col("time_ms") + F.col("w")).alias("t"))
@@ -585,11 +605,148 @@ def time_matrix(
         )
         release_checkpoint(dist)
         dist, frontier = new_dist, improved
+    return dist
+
+
+def route_paths(
+    edges: DataFrame,
+    way_attrs: DataFrame,
+    src_mod: int = MTX_SRC_MOD,
+    budget_ms: int = MTX_BUDGET_MS,
+    max_iters: int = 40,
+) -> DataFrame:
+    """(src, dst, seq, node_id): the actual shortest path behind every
+    :func:`time_matrix` cell — the reference's route-reconstruction
+    product (route/src/server route geometry; a matrix without paths
+    answers "how far", this answers "which way").
+
+    Determinism: the predecessor of each settled label is the
+    lexicographic minimum ``struct(t_pred + w, pred)`` over incoming
+    arcs — the (cost, id) total order picks ONE canonical shortest-path
+    tree per source, identical in DuckDB's ``row_number() OVER (ORDER
+    BY t, u)`` formulation, so paths (not just costs) hash-match
+    cross-engine.
+
+    Scale shape: relaxation is the shared :func:`_relax_from_sources`
+    loop; the pred table is ONE additional dist x adjacency join + one
+    (src, node)-keyed struct-min aggregate; reconstruction walks all
+    (src, dst) pairs SIMULTANEOUSLY (one pred join per round, rounds =
+    max path hops, budget-bounded) — never one driver-side walk per
+    pair. Frames are checkpointed per round with superseded-round
+    release (CC discipline).
+
+    Returns one persisted frame; caller releases it.
+    """
+    adj = _car_adjacency(edges, way_attrs)
+    dist = _relax_from_sources(adj, src_mod, budget_ms, max_iters)
+    pred = (
+        dist.join(adj, dist.node_id == adj.s)
+        .select(
+            "src",
+            F.col("d").alias("node_id"),
+            F.struct((F.col("time_ms") + F.col("w")).alias("t"), F.col("s").alias("u")).alias(
+                "cand"
+            ),
+        )
+        .groupBy("src", "node_id")
+        .agg(F.min("cand").alias("m"))
+        .select("src", "node_id", F.col("m.u").alias("pred"))
+        .persist()
+    )
+    pred.count()
     adj.unpersist()
-    out = dist.select("src", F.col("node_id").alias("dst"), "time_ms").persist()
-    out.count()
+    frontier = dist.select(
+        "src", F.col("node_id").alias("dst"), F.col("node_id").alias("cur"),
+        F.lit(0).cast("int").alias("back"),
+    ).localCheckpoint(eager=True)
     release_checkpoint(dist)
-    return out
+    frames = [frontier]
+    hops = 0
+    while True:
+        hops += 1
+        if hops > max_iters:
+            raise RuntimeError(f"route_paths walk exceeded {max_iters} hops")
+        nxt = (
+            frontier.filter(F.col("cur") != F.col("src"))
+            .join(
+                pred.select("src", F.col("node_id").alias("cur"), "pred"),
+                ["src", "cur"],
+            )
+            .select("src", "dst", F.col("pred").alias("cur"), (F.col("back") + 1).alias("back"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            release_checkpoint(nxt)
+            break
+        frames.append(nxt)
+        frontier = nxt
+    pred.unpersist()
+    allrows = frames[0]
+    for f in frames[1:]:
+        allrows = allrows.unionByName(f)
+    lens = allrows.groupBy("src", "dst").agg(F.max("back").alias("pathlen"))
+    out = allrows.join(lens, ["src", "dst"]).select(
+        "src",
+        "dst",
+        (F.col("pathlen") - F.col("back") + 1).cast("int").alias("seq"),
+        F.col("cur").alias("node_id"),
+    )
+    from .dedup import eager_release
+
+    res = eager_release(out, [])
+    for f in frames:
+        release_checkpoint(f)
+    return res
+
+
+def route_paths_oracle_sql(
+    edges_sql: str,
+    way_attrs_sql: str,
+    src_mod: int = MTX_SRC_MOD,
+    budget_ms: int = MTX_BUDGET_MS,
+) -> str:
+    """Recursive replay: dist walk -> canonical pred tree (row_number
+    over (t, u)) -> simultaneous backward path walk."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+wa AS ({way_attrs_sql}),
+dir AS (
+  SELECT u_node AS s, v_node AS d,
+         CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT) AS w
+  FROM e JOIN wa USING (way_id) WHERE access_car
+  UNION ALL
+  SELECT v_node, u_node, CAST(round(length_mm * 3.6 / speed_car_kmh) AS BIGINT)
+  FROM e JOIN wa USING (way_id) WHERE access_car AND NOT oneway
+),
+walk(src, node_id, t) AS (
+  SELECT DISTINCT s AS src, s AS node_id, CAST(0 AS BIGINT) AS t
+  FROM dir WHERE s % {src_mod} = 0
+  UNION
+  SELECT walk.src, dir.d, walk.t + dir.w FROM walk JOIN dir ON dir.s = walk.node_id
+  WHERE walk.t + dir.w <= {budget_ms}
+),
+dist AS (SELECT src, node_id, min(t) AS t FROM walk GROUP BY src, node_id),
+predc AS (
+  SELECT d0.src, dir.d AS node_id, d0.t + dir.w AS t, dir.s AS u
+  FROM dist d0 JOIN dir ON dir.s = d0.node_id
+),
+pred AS (
+  SELECT src, node_id, u FROM (
+    SELECT src, node_id, u, row_number() OVER (PARTITION BY src, node_id ORDER BY t, u) AS rn
+    FROM predc
+  ) WHERE rn = 1
+),
+paths(src, dst, cur, back) AS (
+  SELECT src, node_id, node_id, 0 FROM dist
+  UNION ALL
+  SELECT p.src, p.dst, pr.u, p.back + 1
+  FROM paths p JOIN pred pr ON pr.src = p.src AND pr.node_id = p.cur
+  WHERE p.cur <> p.src
+),
+lens AS (SELECT src, dst, max(back) AS pathlen FROM paths GROUP BY src, dst)
+SELECT p.src, p.dst, CAST(l.pathlen - p.back + 1 AS INT) AS seq, p.cur AS node_id
+FROM paths p JOIN lens l ON l.src = p.src AND l.dst = p.dst
+"""
 
 
 def time_matrix_oracle_sql(

@@ -1570,6 +1570,31 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_route_paths(spark, sf_dir):
+    """Shortest-path reconstruction (round 5e): the canonical (cost, id)
+    predecessor tree behind every time_matrix cell, walked for all
+    (src, dst) pairs simultaneously — paths, not just costs, hash-match
+    the DuckDB replay."""
+    from .operators.graph import route_paths
+
+    fix = _fix(sf_dir)
+    ways = _read(spark, fix, "osm_ways")
+    return route_paths(
+        build_edges(ways, _read(spark, fix, "way_nodes"), _read(spark, fix, "osm_nodes")),
+        compile_way_attrs(ways),
+    )
+
+
+def sql_route_paths(sf: str = ORACLE_SF) -> str:
+    from .operators.graph import route_paths_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return route_paths_oracle_sql(
+        edges_oracle_sql(fix),
+        way_attrs_oracle_sql(f"{fix}/way_tags.parquet", f"{fix}/osm_ways.parquet"),
+    )
+
+
 def q_simhash_clusters(spark, sf_dir):
     """SimHash cluster resolution (round 5e): the third near-dup family
     completes its pairs -> clusters materialization on the shared CC
@@ -1805,6 +1830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_regions": q_cell_regions,
     "cell_uncompact": q_cell_uncompact,
     "simhash_clusters": q_simhash_clusters,
+    "route_paths": q_route_paths,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1922,6 +1948,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "cell_regions": sql_cell_regions,
     "cell_uncompact": sql_cell_uncompact,
     "simhash_clusters": sql_simhash_clusters,
+    "route_paths": sql_route_paths,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,

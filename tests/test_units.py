@@ -888,3 +888,45 @@ def test_cell_regions_partition(spark, fix001):
     out.unpersist()
     release_checkpoint(out)
     assert not (persistent_rdd_ids(spark) - before), "cell_regions leaked caches"
+
+
+def test_route_paths_are_valid_shortest_paths(spark, fix001):
+    """route_paths: every (src, dst) path starts at src, ends at dst,
+    every hop is a real directed car arc, and the summed arc weights
+    equal the time_matrix cell — paths are not merely plausible, they
+    COST what the matrix says."""
+    from butterfly_osm_spark.functions.model import compile_way_attrs
+    from butterfly_osm_spark.operators.dedup import release_checkpoint
+    from butterfly_osm_spark.operators.extract import build_edges
+    from butterfly_osm_spark.operators.graph import _car_adjacency, route_paths, time_matrix
+
+    ways = spark.read.parquet(fix001 + "/osm_ways.parquet")
+    edges = build_edges(
+        ways,
+        spark.read.parquet(fix001 + "/way_nodes.parquet"),
+        spark.read.parquet(fix001 + "/osm_nodes.parquet"),
+    )
+    wa = compile_way_attrs(ways)
+    adj = _car_adjacency(edges, wa)
+    arcs = {(r.s, r.d): r.w for r in adj.collect()}
+    adj.unpersist()
+    mtx = time_matrix(edges, wa)
+    cells_t = {(r.src, r.dst): r.time_ms for r in mtx.collect()}
+    mtx.unpersist()
+    release_checkpoint(mtx)
+    paths = route_paths(edges, wa)
+    rows = paths.collect()
+    paths.unpersist()
+    release_checkpoint(paths)
+    by_pair = {}
+    for r in rows:
+        by_pair.setdefault((r.src, r.dst), {})[r.seq] = r.node_id
+    assert set(by_pair) == set(cells_t)  # one path per matrix cell
+    for (src, dst), seqmap in by_pair.items():
+        seq = [seqmap[i] for i in range(1, len(seqmap) + 1)]
+        assert seq[0] == src and seq[-1] == dst
+        cost = 0
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in arcs, f"hop {a}->{b} is not a car arc"
+            cost += arcs[(a, b)]
+        assert cost == cells_t[(src, dst)], f"path cost != matrix cell for {(src, dst)}"
