@@ -503,3 +503,64 @@ ranked AS (
 SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# caption template mining: boilerplate detection over the caption corpus
+# ---------------------------------------------------------------------------
+
+TEMPLATE_N = 4
+TEMPLATE_MIN_CAPTIONS = 2
+
+
+def caption_templates(
+    images: DataFrame, n: int = TEMPLATE_N, min_captions: int = TEMPLATE_MIN_CAPTIONS
+) -> DataFrame:
+    """(ngram, n_captions): caption word n-grams appearing in >=
+    ``min_captions`` DISTINCT captions — the boilerplate/template miner
+    a multimodal curation pipeline runs before caption dedup ("stock
+    photo of", watermark phrases, scraper artifacts inflate n-gram
+    frequency far above natural language). The doc_repetition /
+    bpe_pair_counts discipline applied to the IMAGE side: templated
+    captions are to image-text corpora what duplicated spans are to
+    text corpora.
+
+    Scale shape: ONE corpus-sized aggregate — JVM
+    ``transform(sequence(...))`` n-grams (zero Python), array_distinct
+    per caption so a phrase repeated INSIDE one caption counts once,
+    partial+final count on the exchange; output is vocabulary-sized.
+    Image bytes never read (ReadSchema prunes to caption only).
+    """
+    expr = (
+        f"transform(sequence(0, size(ws) - {n}), "
+        + "i -> concat_ws(' ', "
+        + ", ".join(f"ws[i+{k}]" for k in range(n))
+        + "))"
+    )
+    return (
+        images.select(F.split(F.trim("caption"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select(F.explode(F.array_distinct(F.expr(expr))).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_captions"))
+        .filter(F.col("n_captions") >= min_captions)
+    )
+
+
+def caption_templates_oracle_sql(
+    fix: str, n: int = TEMPLATE_N, min_captions: int = TEMPLATE_MIN_CAPTIONS
+) -> str:
+    ng = " || ' ' || ".join(f"ws[i+{k}]" for k in range(n))
+    return f"""
+WITH t AS (
+  SELECT image_id, string_split(trim(caption), ' ') AS ws
+  FROM read_parquet('{fix}/images.parquet')
+),
+g AS (
+  SELECT DISTINCT image_id, {ng} AS ngram
+  FROM t, unnest(generate_series(1, len(ws) - {n - 1})) AS u(i)
+  WHERE len(ws) >= {n}
+)
+SELECT ngram, count(*) AS n_captions FROM g GROUP BY ngram
+HAVING count(*) >= {min_captions}
+"""

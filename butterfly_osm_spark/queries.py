@@ -1570,6 +1570,21 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_caption_templates(spark, sf_dir):
+    """Caption boilerplate mining (round 5e): one corpus aggregate over
+    JVM n-grams, distinct-per-caption; templated phrases surface as
+    n-grams shared across captions — the multimodal curation gate."""
+    from .operators.images import caption_templates
+
+    return caption_templates(_read(spark, _fix(sf_dir), "images"))
+
+
+def sql_caption_templates(sf: str = ORACLE_SF) -> str:
+    from .operators.images import caption_templates_oracle_sql
+
+    return caption_templates_oracle_sql(_oracle_fix(sf))
+
+
 def q_route_paths(spark, sf_dir):
     """Shortest-path reconstruction (round 5e): the canonical (cost, id)
     predecessor tree behind every time_matrix cell, walked for all
@@ -1831,6 +1846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_uncompact": q_cell_uncompact,
     "simhash_clusters": q_simhash_clusters,
     "route_paths": q_route_paths,
+    "caption_templates": q_caption_templates,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1949,6 +1965,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "cell_uncompact": sql_cell_uncompact,
     "simhash_clusters": sql_simhash_clusters,
     "route_paths": sql_route_paths,
+    "caption_templates": sql_caption_templates,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
