@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import cells
+from ..geo import bearing_deg_col
 
 STAT_RES = 10  # ~1.1 km cells: dense enough for adjacency structure
 
@@ -327,4 +328,66 @@ labs AS (SELECT node AS id, min(lab) AS region_id FROM reach GROUP BY node),
 sz AS (SELECT region_id, count(*) AS region_size FROM labs GROUP BY region_id)
 SELECT id // 2147483648 AS x, id % 2147483648 AS y, region_id, region_size
 FROM labs JOIN sz USING (region_id)
+"""
+
+
+SECT_RES = 8
+SECT_DEG = 45.0
+
+
+def bearing_sectors(
+    edges: DataFrame, nodes: DataFrame, res: int = SECT_RES, sector_deg: float = SECT_DEG
+) -> DataFrame:
+    """(x, y, sector, n_edges): per-cell histogram of road-edge bearings
+    in ``sector_deg`` buckets — street-grid orientation analysis (the
+    city-orientation-entropy study shape: gridded cities concentrate
+    mass in 2 sectors, organic ones spread it), and the statistic the
+    reference's bearing kernel (nbg/mod.rs:45-57, P5) exists to feed.
+
+    Plan shape: edges join nodes TWICE on the bucket key (u, v coords —
+    the same equi-joins extraction already runs), bearing + cell + sector
+    all single JVM expressions, then ONE partial+final count aggregate
+    on (cell, sector). Output is vocabulary-sized. The bearing triplet
+    (Column / numpy / SQL) is the sector_lasso-proven cross-engine
+    kernel, so the DuckDB oracle replays the histogram exactly.
+    """
+    un = nodes.select(
+        F.col("id").alias("u_node"), F.col("lon_e7").alias("ulon"), F.col("lat_e7").alias("ulat")
+    )
+    vn = nodes.select(
+        F.col("id").alias("v_node"), F.col("lon_e7").alias("vlon"), F.col("lat_e7").alias("vlat")
+    )
+    b = bearing_deg_col("ulon", "ulat", "vlon", "vlat")
+    s = cells.SIZE_E7[res]
+    return (
+        edges.join(un, "u_node")
+        .join(vn, "v_node")
+        .filter((F.col("ulon") != F.col("vlon")) | (F.col("ulat") != F.col("vlat")))
+        .select(
+            F.expr(f"(cast(ulon as bigint) + {cells.OFF_LON_E7}) div {s}").alias("x"),
+            F.expr(f"(cast(ulat as bigint) + {cells.OFF_LAT_E7}) div {s}").alias("y"),
+            F.floor(b / F.lit(sector_deg)).cast("int").alias("sector"),
+        )
+        .groupBy("x", "y", "sector")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def bearing_sectors_oracle_sql(
+    edges_sql: str, fix: str, res: int = SECT_RES, sector_deg: float = SECT_DEG
+) -> str:
+    from ..geo import bearing_deg_sql
+
+    s = cells.SIZE_E7[res]
+    bearing = bearing_deg_sql("u.lon_e7", "u.lat_e7", "v.lon_e7", "v.lat_e7")
+    return f"""
+WITH e AS ({edges_sql}),
+n AS (SELECT id, lon_e7, lat_e7 FROM read_parquet('{fix}/osm_nodes.parquet'))
+SELECT CAST((CAST(u.lon_e7 AS BIGINT) + {cells.OFF_LON_E7}) // {s} AS BIGINT) AS x,
+       CAST((CAST(u.lat_e7 AS BIGINT) + {cells.OFF_LAT_E7}) // {s} AS BIGINT) AS y,
+       CAST(floor(({bearing}) / {sector_deg}) AS INT) AS sector,
+       count(*) AS n_edges
+FROM e JOIN n u ON u.id = e.u_node JOIN n v ON v.id = e.v_node
+WHERE u.lon_e7 <> v.lon_e7 OR u.lat_e7 <> v.lat_e7
+GROUP BY 1, 2, 3
 """

@@ -1570,6 +1570,30 @@ def sql_skyline_images(sf: str = ORACLE_SF) -> str:
     return skyline_images_oracle_sql(_oracle_fix(sf))
 
 
+def q_bearing_sectors(spark, sf_dir):
+    """Street-grid orientation histogram (round 5e): per-cell bearing
+    sectors over extracted edges — one partial+final aggregate; the
+    sector_lasso-proven bearing triplet makes the oracle exact."""
+    from .operators.spatial_stats import bearing_sectors
+
+    fix = _fix(sf_dir)
+    return bearing_sectors(
+        build_edges(
+            _read(spark, fix, "osm_ways"),
+            _read(spark, fix, "way_nodes"),
+            _read(spark, fix, "osm_nodes"),
+        ),
+        _read(spark, fix, "osm_nodes"),
+    )
+
+
+def sql_bearing_sectors(sf: str = ORACLE_SF) -> str:
+    from .operators.spatial_stats import bearing_sectors_oracle_sql
+
+    fix = _oracle_fix(sf)
+    return bearing_sectors_oracle_sql(edges_oracle_sql(fix), fix)
+
+
 def q_caption_templates(spark, sf_dir):
     """Caption boilerplate mining (round 5e): one corpus aggregate over
     JVM n-grams, distinct-per-caption; templated phrases surface as
@@ -1847,6 +1871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_clusters": q_simhash_clusters,
     "route_paths": q_route_paths,
     "caption_templates": q_caption_templates,
+    "bearing_sectors": q_bearing_sectors,
     "kcore_peel": q_kcore_peel,
     "time_matrix": q_time_matrix,
     "heatmap_kde": q_heatmap_kde,
@@ -1966,6 +1991,7 @@ ORACLES: dict[str, Callable[..., str]] = {
     "simhash_clusters": sql_simhash_clusters,
     "route_paths": sql_route_paths,
     "caption_templates": sql_caption_templates,
+    "bearing_sectors": sql_bearing_sectors,
     "kcore_peel": sql_kcore_peel,
     "time_matrix": sql_time_matrix,
     "heatmap_kde": sql_heatmap_kde,
