@@ -17,8 +17,10 @@ Spark-first design (SURVEY.md §7.1 step 4):
 2. points join cover cells on cell_id (res is packed inside the id) — a
    broadcast equi-join (cover set is tiny vs the point table).
 3. ``full``-cell candidates pass with ZERO per-point work (the big win at
-   scale); ``partial``-cell candidates are ray-cast in a vectorized numpy
-   kernel (cogrouped applyInPandas, one group per polygon).
+   scale); ``partial``-cell candidates are ray-cast by a JVM higher-order
+   expression over the polygon's broadcast edge array (even-odd parity =
+   ``size(filter(edges, crossing)) % 2`` — no Python boundary, no extra
+   exchange in the refine path).
 
 The ray-cast uses the exact expression ``px < (x2-x1)*(py-y1)/(y2-y1)+x1``
 in float64 so the DuckDB oracle (same expression in SQL) matches
@@ -45,7 +47,6 @@ from .. import cells
 # under this cell count.
 MAX_COVER_CELLS = 256
 MIN_RES, MAX_RES = 7, 13
-REFINE_SALTS = 8  # split per-polygon ray-cast groups (point-independent)
 # broadcast the polygon cover set only below this row count (same gate
 # rationale as operators.knn.BROADCAST_MAX_ROWS: the "request-sized
 # polygon set" assumption is an input property, not an invariant — a
@@ -60,11 +61,6 @@ _COVER_SCHEMA = StructType(
         StructField("coverage", StringType()),  # 'full' | 'partial'
     ]
 )
-
-_PAIR_SCHEMA = StructType(
-    [StructField("point_id", StringType()), StructField("polygon_id", StringType())]
-)
-
 
 def _raycast_np(px: np.ndarray, py: np.ndarray, x1, y1, x2, y2) -> np.ndarray:
     """Even-odd crossing parity for points (px,py) vs an edge set —
@@ -159,7 +155,18 @@ def pip_join(
     lat_col: str = "lat_e7",
 ) -> DataFrame:
     """(point_id, polygon_id) pairs where the point is inside the polygon
-    (even-odd). Points exactly on edges follow the raycast convention."""
+    (even-odd). Points exactly on edges follow the raycast convention.
+
+    Round-6 refine: the former cogrouped applyInPandas (2 exchanges +
+    2 sorts + REFINE_SALTS skew machinery) is replaced by a shuffle-free
+    ``mapInPandas`` over the candidate stream with the polygon edge
+    arrays shipped once per executor via ``sc.broadcast`` — same
+    vectorized numpy kernel, zero added exchanges. Beyond the broadcast
+    gate (unbounded polygon sets, nothing may be collected) the refine
+    instead joins per-polygon edge arrays and evaluates the even-odd
+    parity as a JVM higher-order expression. Both paths use the exact
+    float64 op order of the SQL oracle (``(x2-x1)*(py-y1)/(y2-y1)+x1``),
+    so results stay bit-exact (parity pytest covers the fallback)."""
     cover = polygon_cover_cells(polygons).persist()
     res_list = sorted(r["res"] for r in cover.select("res").distinct().collect())
     # cover is bounded per polygon (MAX_COVER_CELLS) but NOT in polygon
@@ -188,51 +195,73 @@ def pip_join(
     )
 
     full_hits = cand.filter(F.col("coverage") == "full").select("point_id", "polygon_id")
-    # ray-casting is per-point independent, so a dense polygon's candidate
-    # set splits into REFINE_SALTS hash sub-groups (edges replicated per
-    # salt — tiny) instead of one skewed task per polygon
     partial = cand.filter(F.col("coverage") == "partial").select(
-        "point_id",
-        "px",
-        "py",
-        "polygon_id",
-        # cast to int so both cogroup sides carry the SAME salt dtype —
-        # a Long-vs-Integer mismatch hash-partitions the two sides
-        # incompatibly and whole salt groups silently meet an empty edge
-        # frame (round-1 pip_images failure under local[32] defaults)
-        F.pmod(F.xxhash64("point_id"), F.lit(REFINE_SALTS)).cast("int").alias("salt"),
+        "point_id", "px", "py", "polygon_id"
     )
-    salts = F.explode(F.array(*[F.lit(s).cast("int") for s in range(REFINE_SALTS)])).alias("salt")
-    edges = polygon_edges_df(polygons).select("*", salts)
 
-    def refine(key: tuple, cand_pdf: pd.DataFrame, edge_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(cand_pdf) == 0:
-            return pd.DataFrame({"point_id": pd.Series(dtype=str), "polygon_id": pd.Series(dtype=str)})
-        if len(edge_pdf) == 0:
-            # edges are replicated to EVERY salt, so a non-empty candidate
-            # group can never legitimately see an empty edge frame; this
-            # state means the cogroup keys diverged (e.g. dtype mismatch).
-            raise RuntimeError(
-                f"pip refine: {len(cand_pdf)} candidates for key {key} met an "
-                "empty edge frame — cogroup key mismatch (salt dtype?)"
-            )
-        inside = _raycast_np(
-            cand_pdf["px"].to_numpy(np.float64),
-            cand_pdf["py"].to_numpy(np.float64),
-            edge_pdf["x1"].to_numpy(np.float64),
-            edge_pdf["y1"].to_numpy(np.float64),
-            edge_pdf["x2"].to_numpy(np.float64),
-            edge_pdf["y2"].to_numpy(np.float64),
+    if cover_rows <= BROADCAST_MAX_ROWS:
+        # request-sized polygon set: ship the closed edge arrays to every
+        # task as ONE torrent broadcast (not a per-task closure) and
+        # ray-cast the candidate stream in-place with the vectorized
+        # numpy kernel — mapInPandas directly over the broadcast cover
+        # join output, so the refine path adds ZERO exchanges and no
+        # per-polygon task skew (any task refines any polygon's rows).
+        rows = polygons.select("polygon_id", "ring").collect()
+        edge_map = {}
+        for r in rows:
+            vx = np.array([v["lon_e7"] for v in r["ring"]], dtype=np.float64)
+            vy = np.array([v["lat_e7"] for v in r["ring"]], dtype=np.float64)
+            edge_map[r["polygon_id"]] = (vx, vy, np.roll(vx, -1), np.roll(vy, -1))
+        bc = points.sparkSession.sparkContext.broadcast(edge_map)
+
+        def refine_stream(batches):
+            em = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                hits = []
+                for pid, g in pdf.groupby("polygon_id", sort=False):
+                    x1, y1, x2, y2 = em[pid]
+                    inside = _raycast_np(
+                        g["px"].to_numpy(np.float64), g["py"].to_numpy(np.float64), x1, y1, x2, y2
+                    )
+                    if inside.any():
+                        hits.append(g.loc[inside, ["point_id", "polygon_id"]])
+                if hits:
+                    yield pd.concat(hits, ignore_index=True)
+
+        refined = partial.mapInPandas(refine_stream, schema="point_id string, polygon_id string")
+    else:
+        # unbounded polygon set: no driver-side collect — shuffle-join the
+        # candidates to per-polygon edge arrays (built by ``transform``
+        # over the ring, zero shuffles) and evaluate the even-odd parity
+        # as a JVM higher-order expression. Same float64 op order as the
+        # numpy kernel/oracle; NaN/Inf from a horizontal edge (y2 == y1)
+        # is neutralized by the conjunction exactly as in numpy (cond is
+        # false whenever y1 == y2).
+        n_ring = F.size("ring")
+        nxt = lambda i: ((i + F.lit(1)) % n_ring) + F.lit(1)  # noqa: E731
+        edges_arr = F.transform(
+            "ring",
+            lambda v, i: F.struct(
+                v["lon_e7"].cast("double").alias("x1"),
+                v["lat_e7"].cast("double").alias("y1"),
+                F.element_at(F.col("ring"), nxt(i))["lon_e7"].cast("double").alias("x2"),
+                F.element_at(F.col("ring"), nxt(i))["lat_e7"].cast("double").alias("y2"),
+            ),
         )
-        hit = cand_pdf.loc[inside, ["point_id"]].copy()
-        hit["polygon_id"] = key[0]
-        return hit[["point_id", "polygon_id"]]
+        poly_edges = polygons.select("polygon_id", edges_arr.alias("edges"))
 
-    refined = (
-        partial.groupBy("polygon_id", "salt")
-        .cogroup(edges.groupBy("polygon_id", "salt"))
-        .applyInPandas(refine, schema=_PAIR_SCHEMA)
-    )
+        def _crossing(e):
+            cond = (e["y1"] > F.col("py")) != (e["y2"] > F.col("py"))
+            xint = (e["x2"] - e["x1"]) * (F.col("py") - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+            return cond & (F.col("px") < xint)
+
+        refined = (
+            partial.join(poly_edges, "polygon_id")
+            .filter(F.size(F.filter("edges", _crossing)) % 2 == 1)
+            .select("point_id", "polygon_id")
+        )
     # materialize the pair result once (cached), then release the cover —
     # repeated pip_join callers (warm-cache misses, incremental refreshes)
     # previously pinned one cover RDD per call for the session lifetime,
