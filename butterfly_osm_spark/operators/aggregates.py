@@ -232,6 +232,9 @@ def convex_hull(
             }
         )
 
+    from ..partitioning import repartition_for_python_groups
+
+    pts = repartition_for_python_groups(pts, "query_id")
     return pts.groupBy("query_id").applyInPandas(hull, schema=_HULL_SCHEMA)
 
 

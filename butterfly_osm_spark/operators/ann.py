@@ -103,9 +103,12 @@ def _pack_blocks(embeddings: DataFrame, n_blocks: int) -> DataFrame:
             }
         )
 
+    from ..partitioning import repartition_for_python_groups
+
     tagged = embeddings.select(
         "vec_id", "embedding", (F.abs(F.xxhash64("vec_id")) % n_blocks).cast("int").alias("block_id")
     )
+    tagged = repartition_for_python_groups(tagged, "block_id")
     return tagged.groupBy("block_id").applyInPandas(pack, schema=_BLOCK_SCHEMA)
 
 
@@ -211,6 +214,12 @@ def _block_pair_partials(
             emit(np.ascontiguousarray(cos.T), ids_b, ids_a)
         return pd.concat(out) if out else empty
 
+    # the gemm groups are few but compute-heavy — pin the gather's
+    # parallelism so AQE byte-coalescing cannot serialize them
+    # (partitioning.py; the B(B+1)/2 pair groups are the unit of scaling)
+    from ..partitioning import repartition_for_python_groups
+
+    grid = repartition_for_python_groups(grid, "pair_id")
     return grid.groupBy("pair_id").applyInPandas(kernel, schema=_PAIR_OUT)
 
 

@@ -291,7 +291,11 @@ def eager_release(result: DataFrame, holds: list[DataFrame]) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, nodes: DataFrame, max_iters: int = 50
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 50,
+    reset_dir: str | None = None,
+    reset_every: int = 8,
 ) -> tuple[DataFrame, int]:
     """Distributed connected components by iterative min-label propagation
     with pointer jumping. ``edges`` = (src, dst) undirected pairs (either
@@ -335,10 +339,14 @@ def connected_components(
     re-checkpoint; the parquet is deleted immediately — the blocks
     live in the block manager), which starts a fresh epoch and pins
     every round at O(1) cost (30-round synthetic replay: all rounds
-    <= 1.3 s). On a real cluster point ``reset_dir`` at shared
-    storage — the standard reliable-materialization pattern for deep
-    iterative Spark jobs; grid-shaped graphs (cell_regions) are the
-    consumers that actually reach such depths."""
+    <= 1.3 s). ``reset_dir`` is where the epoch round-trip parquet goes:
+    on a non-local master it MUST be shared storage visible to every
+    executor (a driver-local tempdir would let each executor commit task
+    files to its own filesystem and the re-read silently drop rows) — it
+    defaults to the context's checkpoint dir when one is set and
+    otherwise FAILS FAST on non-local masters; only local[*] falls back
+    to a process-local tempdir. Grid-shaped graphs (cell_regions) are
+    the consumers that actually reach such depths."""
     import shutil
     import tempfile
 
@@ -351,7 +359,18 @@ def connected_components(
         F.col(nodes.columns[0]).alias("id"), F.col(nodes.columns[0]).alias("lab")
     ).localCheckpoint(eager=True)
     spark = labels.sparkSession
-    reset_every = 8
+    local_tmp = reset_dir is None
+    if local_tmp:
+        master = spark.sparkContext.master
+        ckpt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        if ckpt.isDefined():
+            reset_dir, local_tmp = ckpt.get(), False
+        elif not master.startswith("local"):
+            raise RuntimeError(
+                "connected_components: on a non-local master pass "
+                "reset_dir=<shared storage path> (or setCheckpointDir) — "
+                "the epoch-reset parquet must be visible to every executor"
+            )
     iters = 0
     converged = False
     while iters < max_iters:
@@ -389,13 +408,24 @@ def connected_components(
             converged = True
             break
         if iters % reset_every == 0:
-            tmp = tempfile.mkdtemp(prefix="cc_epoch_")
-            path = f"{tmp}/labels"
+            if local_tmp:
+                base = tempfile.mkdtemp(prefix="cc_epoch_")
+            else:
+                base = f"{reset_dir.rstrip('/')}/cc_epoch_{id(e)}_{iters}"
+            path = f"{base}/labels"
             labels.write.mode("overwrite").parquet(path)
             fresh = spark.read.parquet(path).localCheckpoint(eager=True)
             release_checkpoint(labels)
             labels = fresh
-            shutil.rmtree(tmp, ignore_errors=True)
+            if local_tmp:
+                shutil.rmtree(base, ignore_errors=True)
+            else:  # shared storage: delete through the Hadoop FS API
+                try:
+                    jvm = spark._jvm
+                    p = jvm.org.apache.hadoop.fs.Path(base)
+                    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+                except Exception:  # noqa: BLE001 — leak the tmp dir, don't crash
+                    pass
     e.unpersist()
     if not converged:
         raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")

@@ -82,9 +82,16 @@ def dem_sample(points: DataFrame, raster_tiles: DataFrame) -> DataFrame:
             {"query_id": pts_pdf["query_id"].to_numpy(), "elev_m": np.floor(v * 1000.0 + 0.5) / 1000.0}
         )
 
+    from ..partitioning import repartition_for_python_groups
+
     return (
-        pts.groupBy("tile_lat", "tile_lon")
-        .cogroup(raster_tiles.groupBy("tile_lat", "tile_lon"))
+        repartition_for_python_groups(pts, "tile_lat", "tile_lon")
+        .groupBy("tile_lat", "tile_lon")
+        .cogroup(
+            repartition_for_python_groups(raster_tiles, "tile_lat", "tile_lon").groupBy(
+                "tile_lat", "tile_lon"
+            )
+        )
         .applyInPandas(sample, schema=_OUT_SCHEMA)
     )
 

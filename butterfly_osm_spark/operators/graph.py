@@ -350,8 +350,16 @@ def kcore_peel(edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -
     """(node_id, peel_round): iterative degree-<k peeling of the
     undirected road graph — round r removes every vertex whose degree in
     the surviving graph is < ``k`` (and its incident edges); vertices
-    still standing after ``rounds`` rounds are the k-core
-    (``peel_round = 0``). For k=2 this is exactly the dead-end/antenna
+    still standing after ``rounds`` rounds get ``peel_round = 0``.
+
+    SEMANTICS CAVEAT (ADVICE r5): ``peel_round = 0`` means "survived
+    ``rounds`` peel rounds", NOT a true k-core guarantee — an antenna
+    chain peels one vertex per round, so a dead-end chain deeper than
+    ``rounds`` contracted segments still reads 0. Spark and the DuckDB
+    oracle share the bound (differentially green by construction);
+    consumers needing the exact k-core must raise ``rounds`` to the
+    graph's peel depth (the oracle unroll bound is a test-scale limit).
+    For k=2 this is exactly the dead-end/antenna
     chain trimming a routing preprocessor applies before hierarchy
     construction (the reference contracts degree-1 chains during graph
     simplification — route/src/nbg graph build; SURVEY §2.3 notes):
@@ -542,11 +550,19 @@ def _car_adjacency(edges: DataFrame, way_attrs: DataFrame) -> DataFrame:
     wa = way_attrs.select("way_id", "speed_car_kmh", "access_car", "oneway").filter(
         F.col("access_car")
     )
+    # w >= 1 is the invariant the route_paths pred-tree acyclicity and the
+    # oracle's recursive CTE termination rest on (ADVICE r5). build_edges'
+    # length_mm >= 1000 clamp already guarantees it for any car speed
+    # (w = round(3.6e3/kmh) >= 1 for kmh <= 3600), so the greatest() is an
+    # identity on real data — it makes the invariant explicit rather than
+    # implicit in an upstream clamp.
     ew = edges.join(wa, "way_id").select(
         "u_node",
         "v_node",
         "oneway",
-        F.round(F.col("length_mm") * 3.6 / F.col("speed_car_kmh")).cast("long").alias("w"),
+        F.greatest(
+            F.round(F.col("length_mm") * 3.6 / F.col("speed_car_kmh")).cast("long"), F.lit(1)
+        ).alias("w"),
     )
     fwd = ew.select(F.col("u_node").alias("s"), F.col("v_node").alias("d"), "w")
     bwd = ew.filter(~F.col("oneway")).select(

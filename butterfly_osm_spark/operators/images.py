@@ -427,8 +427,10 @@ def phash_knn(images: DataFrame, k: int = PHKNN_K, qmod: int = PHKNN_QMOD) -> Da
     unique under any plan.
 
     Scale shape (10^12 images): the GALLERY NEVER SHUFFLES — the query
-    batch (|corpus|/qmod × 16 bytes; the kmeans driver-held-model
-    discipline) broadcasts into a mapInPandas partial top-k over each
+    batch (|corpus|/qmod rows x (id string + 8-byte hash) — the id
+    strings, not the hashes, dominate driver memory; a 4M-row guard
+    enforces the request-batch assumption) broadcasts into a
+    mapInPandas partial top-k over each
     gallery Arrow batch (vectorized uint8-LUT popcount, queries chunked
     256 at a time to bound the XOR matrix), emitting k rows per query
     per batch; ONE window exchange then merges the Q x k x n_batches
@@ -444,12 +446,25 @@ def phash_knn(images: DataFrame, k: int = PHKNN_K, qmod: int = PHKNN_QMOD) -> Da
     queries = [
         (r.image_id, r.phash) for r in ph.filter(key % qmod == 0).collect()
     ]
-    q_ids = np.array([q[0] for q in queries])
-    q_ph = np.array([q[1] for q in queries], dtype=np.int64).view(np.uint64)
+    # the query batch is ~|corpus|/qmod rows of (string id + 8-byte hash)
+    # — id strings dominate the footprint, not the hashes. Guard the
+    # request-batch assumption explicitly, and ship the arrays as ONE
+    # torrent broadcast instead of re-serializing them into every task
+    # closure (ADVICE r5).
+    if len(queries) > 4_000_000:
+        raise ValueError(
+            f"phash_knn: query batch {len(queries)} rows exceeds the "
+            "broadcast guard (4M) — raise qmod so the batch stays "
+            "request-sized, or shard the query set"
+        )
+    q_ids_l = np.array([q[0] for q in queries])
+    q_ph_l = np.array([q[1] for q in queries], dtype=np.int64).view(np.uint64)
+    bc = images.sparkSession.sparkContext.broadcast((q_ids_l, q_ph_l))
 
     schema = "query_id string, neighbor_id string, hamming int"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids, q_ph = bc.value
         if len(q_ids) == 0:
             return
         for pdf in batches:

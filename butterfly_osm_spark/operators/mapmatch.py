@@ -197,4 +197,7 @@ def viterbi_match(traces: DataFrame, way_nodes: DataFrame, nodes: DataFrame) -> 
         chosen.reverse()
         return pd.DataFrame(chosen, columns=[f.name for f in _OUT_SCHEMA.fields])
 
+    from ..partitioning import repartition_for_python_groups
+
+    cand = repartition_for_python_groups(cand, "trace_id")
     return cand.groupBy("trace_id").applyInPandas(solve, schema=_OUT_SCHEMA)

@@ -123,10 +123,14 @@ def _cover_one(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def polygon_cover_cells(polygons: DataFrame) -> DataFrame:
     """(polygon_id, res, cell_id, coverage) — distributed, one group per
-    polygon, pure numpy per group."""
+    polygon, pure numpy per group. The gather keeps explicit parallelism
+    (tiny bytes, real per-group compute — see partitioning.py)."""
+    from ..partitioning import repartition_for_python_groups
+
     exploded = polygons.select("polygon_id", F.posexplode("ring").alias("seq", "v")).select(
         "polygon_id", "seq", F.col("v.lon_e7").alias("x"), F.col("v.lat_e7").alias("y")
     )
+    exploded = repartition_for_python_groups(exploded, "polygon_id")
     return exploded.groupBy("polygon_id").applyInPandas(_cover_one, schema=_COVER_SCHEMA)
 
 
@@ -168,12 +172,14 @@ def pip_join(
     float64 op order of the SQL oracle (``(x2-x1)*(py-y1)/(y2-y1)+x1``),
     so results stay bit-exact (parity pytest covers the fallback)."""
     cover = polygon_cover_cells(polygons).persist()
-    res_list = sorted(r["res"] for r in cover.select("res").distinct().collect())
-    # cover is bounded per polygon (MAX_COVER_CELLS) but NOT in polygon
-    # count — broadcast only below the same row gate knn uses, else fall
-    # back to a shuffle join on cell_id (cover is already persisted, so
-    # the count is a cheap cached-scan aggregate)
-    cover_rows = cover.count()
+    # one cached-scan aggregate serves both driver decisions: the
+    # resolutions present (point explode fan-out) and the total row count
+    # (broadcast gate — cover is bounded per polygon by MAX_COVER_CELLS
+    # but NOT in polygon count, so past the gate the cover join falls
+    # back to a shuffle join on cell_id)
+    res_counts = cover.groupBy("res").count().collect()
+    res_list = sorted(r["res"] for r in res_counts)
+    cover_rows = sum(r["count"] for r in res_counts)
 
     # ONE point scan + ONE broadcast join: each point emits its cell id at
     # every resolution present in the cover (res is packed inside the id,

@@ -449,6 +449,13 @@ def trace_contours(
                 out_rows.append(row + (flag,) if with_anchor else row)
         return pd.DataFrame(out_rows, columns=cols)
 
+    # the gather shuffle is tiny in bytes but the per-region walk is
+    # Python compute — pin its parallelism so AQE's byte-based coalescing
+    # cannot serialize the trace stage (see partitioning.py; measured
+    # 2x at sf0.1/local[32])
+    from ..partitioning import repartition_for_python_groups
+
+    tiles = repartition_for_python_groups(tiles, "region_id")
     if not with_anchor:
         return tiles.groupBy("region_id").applyInPandas(
             lambda key, pdf: trace_grid(key, pdf, None), schema=RING_SCHEMA
@@ -462,6 +469,6 @@ def trace_contours(
 
     return (
         tiles.groupBy("region_id")
-        .cogroup(anchors.groupBy("region_id"))
+        .cogroup(repartition_for_python_groups(anchors, "region_id").groupBy("region_id"))
         .applyInPandas(trace_cog, schema=ANCHORED_RING_SCHEMA)
     )

@@ -102,4 +102,7 @@ def tsp_trips(stops: DataFrame, stops_per_trip: int = 12) -> DataFrame:
             }
         )
 
+    from ..partitioning import repartition_for_python_groups
+
+    grouped = repartition_for_python_groups(grouped, "trip_id")
     return grouped.groupBy("trip_id").applyInPandas(solve, schema=_OUT_SCHEMA)
