@@ -88,9 +88,15 @@ def line_simplify(way_nodes: DataFrame, nodes: DataFrame) -> DataFrame:
     Douglas-Peucker thinning at SIMPLIFY_TOL_E7 — ``seq`` is the
     ORIGINAL vertex sequence number, so downstream joins (coords, tile
     cover) keep working on the thinned chain."""
+    from ..partitioning import repartition_for_python_groups
+
     wv = way_nodes.join(nodes, way_nodes.node_id == nodes.id).select(
         "way_id", "seq", "node_id", "lat_e7", "lon_e7"
     )
+    # pin the way_id gather width: the window + groupBy + DP pandas-UDF
+    # chain all reuse this one exchange, and AQE's byte-based coalescing
+    # must not serialize the per-way Python DP (see partitioning.py)
+    wv = repartition_for_python_groups(wv, "way_id")
     w = Window.partitionBy("way_id").orderBy("seq").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
